@@ -1,0 +1,110 @@
+"""Differentiable image warping: bilinear sampling + projective inverse warp.
+
+The hot op of the photometric training loss (reference:
+`<ref>/utils.py` `projective_inverse_warp` + `bilinear_sampler`,
+SURVEY.md §3.1 HOT LOOP). TPU-first design:
+
+* Images are NHWC (channels-last = TPU lane dimension).
+* Sampling gathers are expressed as flat `take` over H*W so XLA lowers
+  them to efficient dynamic-gathers; weights/validity are fused
+  elementwise (VPU) around them.
+* Out-of-bounds handling is mask-based (no branches): coordinates are
+  clamped for the gather and a validity mask is returned so losses can
+  ignore invalid pixels (the reference family's black-border pitfall,
+  SURVEY.md §7.2).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from davo_tpu.core import geometry as geo
+
+
+def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample `img` at continuous pixel coordinates.
+
+    img:    (B, H, W, C)
+    coords: (B, Ho, Wo, 2) — (u, v) pixel coordinates in img's frame
+    Returns (sampled (B, Ho, Wo, C), valid (B, Ho, Wo, 1) in {0., 1.}).
+    """
+    B, H, W, C = img.shape
+    u = coords[..., 0]
+    v = coords[..., 1]
+
+    u0 = jnp.floor(u)
+    v0 = jnp.floor(v)
+    du = (u - u0)[..., None]
+    dv = (v - v0)[..., None]
+
+    valid = (
+        (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
+    )[..., None].astype(img.dtype)
+
+    u0c = jnp.clip(u0, 0, W - 1).astype(jnp.int32)
+    v0c = jnp.clip(v0, 0, H - 1).astype(jnp.int32)
+    u1c = jnp.clip(u0 + 1, 0, W - 1).astype(jnp.int32)
+    v1c = jnp.clip(v0 + 1, 0, H - 1).astype(jnp.int32)
+
+    flat = img.reshape(B, H * W, C)
+
+    def gather(vi, ui):
+        idx = vi * W + ui  # (B, Ho, Wo)
+        return jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1
+        ).reshape(idx.shape + (C,))
+
+    p00 = gather(v0c, u0c)
+    p01 = gather(v0c, u1c)
+    p10 = gather(v1c, u0c)
+    p11 = gather(v1c, u1c)
+
+    top = p00 * (1.0 - du) + p01 * du
+    bot = p10 * (1.0 - du) + p11 * du
+    out = top * (1.0 - dv) + bot * dv
+    return out * valid, valid
+
+
+def projective_inverse_warp(
+    src: jnp.ndarray,
+    depth: jnp.ndarray,
+    pose: jnp.ndarray,
+    K: jnp.ndarray,
+    rotation: str = "euler",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reconstruct the target view by sampling `src` through depth + pose.
+
+    src:   (B, H, W, C) source image
+    depth: (B, H, W) target-view depth
+    pose:  (B, 6) target->source 6-DoF vector ([t, r]) or (B, 4, 4) matrix
+    K:     (B, 3, 3) intrinsics
+    Returns (warped (B, H, W, C), valid (B, H, W, 1)).
+
+    Equivalent of the reference's `projective_inverse_warp`
+    (`<ref>/utils.py`, SURVEY.md R10): target pixel -> cam point (depth)
+    -> transform by pose -> project -> bilinear-sample source.
+    """
+    if pose.ndim == 2:
+        T = geo.pose_vec_to_mat(pose, rotation=rotation)
+    else:
+        T = pose
+    cam = geo.pixel_to_cam(depth, K)  # (B, 3, H, W)
+    uv, z = geo.cam_to_pixel(cam, K, T)  # (B, 2, H, W), (B, H, W)
+    coords = jnp.moveaxis(uv, -3, -1)  # (B, H, W, 2)
+    warped, valid = bilinear_sample(src, coords)
+    # Points that project behind the source camera are invalid.
+    valid = valid * (z > 0.0)[..., None].astype(valid.dtype)
+    return warped * valid, valid
+
+
+def flow_warp(src: jnp.ndarray, flow: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Warp `src` by a dense flow field.
+
+    src:  (B, H, W, C); flow: (B, H, W, 2) with flow[..., 0] = du,
+    flow[..., 1] = dv (sample src at (u + du, v + dv)).
+    Used by the PWC-style flow net's pyramid warping (SURVEY.md R7).
+    """
+    B, H, W, _ = src.shape
+    grid = geo.pixel_grid(H, W, src.dtype)[:2]  # (2, H, W)
+    coords = jnp.moveaxis(grid, 0, -1)[None] + flow  # (B, H, W, 2)
+    return bilinear_sample(src, coords)

@@ -1,0 +1,147 @@
+"""Golden tests for warping / SSIM / pyramids (SURVEY.md §4.1):
+a textured plane with known depth + pose must reconstruct exactly."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from davo_tpu.core import geometry as geo
+from davo_tpu.core import pyramid as pyr
+from davo_tpu.core.ssim import ssim
+from davo_tpu.core import warp
+
+
+def checkerboard(H, W, C=3, period=4):
+    u = np.arange(W)[None, :] // period
+    v = np.arange(H)[:, None] // period
+    base = ((u + v) % 2).astype(np.float32)
+    img = np.stack([base * (0.3 + 0.2 * c) + 0.1 for c in range(C)], axis=-1)
+    return img[None]  # (1, H, W, C)
+
+
+def smooth_texture(rng, H, W, C=3):
+    """Band-limited random texture — smooth enough for bilinear fidelity."""
+    x = rng.uniform(0.0, 1.0, size=(1, H, W, C)).astype(np.float32)
+    k = np.ones((5, 5)) / 25.0
+    from scipy.ndimage import convolve
+
+    for c in range(C):
+        x[0, ..., c] = convolve(x[0, ..., c], k, mode="nearest")
+    return x
+
+
+class TestBilinearSample:
+    def test_identity_coords(self, rng):
+        img = jnp.asarray(rng.uniform(size=(2, 8, 12, 3)), jnp.float32)
+        grid = geo.pixel_grid(8, 12)[:2]
+        coords = jnp.broadcast_to(jnp.moveaxis(grid, 0, -1)[None], (2, 8, 12, 2))
+        out, valid = warp.bilinear_sample(img, coords)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+        assert float(valid.min()) == 1.0
+
+    def test_integer_shift(self, rng):
+        img = jnp.asarray(rng.uniform(size=(1, 8, 12, 1)), jnp.float32)
+        grid = jnp.moveaxis(geo.pixel_grid(8, 12)[:2], 0, -1)[None]
+        coords = grid + jnp.array([2.0, 0.0])  # sample at u+2
+        out, valid = warp.bilinear_sample(img, coords)
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, :10, 0]), np.asarray(img[0, :, 2:, 0]), atol=1e-6
+        )
+        # Last two columns sample out of bounds -> invalid, zeroed.
+        assert float(valid[0, :, 10:].max()) == 0.0
+        assert float(jnp.abs(out[0, :, 10:]).max()) == 0.0
+
+    def test_halfpixel_average(self):
+        img = jnp.zeros((1, 4, 4, 1)).at[0, 1, 1, 0].set(1.0)
+        coords = jnp.array([[[[0.5, 1.0]]]])  # between (1,0) and (1,1) in u
+        out, _ = warp.bilinear_sample(img, coords)
+        assert float(out[0, 0, 0, 0]) == 0.5
+
+
+class TestProjectiveInverseWarp:
+    def test_identity_pose(self, rng):
+        img = jnp.asarray(checkerboard(16, 24))
+        depth = jnp.full((1, 16, 24), 5.0)
+        K = geo.make_intrinsics(20.0, 20.0, 12.0, 8.0)[None]
+        out, valid = warp.projective_inverse_warp(
+            img, depth, jnp.zeros((1, 6)), K
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+        assert float(valid.min()) == 1.0
+
+    def test_translation_on_plane(self, rng):
+        """Fronto-parallel plane + x-translation == exact integer pixel shift."""
+        H, W, fx, z0 = 16, 24, 10.0, 5.0
+        src = jnp.asarray(smooth_texture(rng, H, W))
+        depth = jnp.full((1, H, W), z0)
+        K = geo.make_intrinsics(fx, fx, W / 2, H / 2)[None]
+        # target->source translation +x by d => pixels shift by fx*d/z0 = 2
+        d = 1.0
+        pose = jnp.array([[d, 0.0, 0.0, 0.0, 0.0, 0.0]])
+        out, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        shift = int(fx * d / z0)
+        got = np.asarray(out[0, :, : W - shift])
+        want = np.asarray(src[0, :, shift:])
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+    def test_z_translation_valid(self, rng):
+        """Moving forward keeps center pixels valid and differentiable."""
+        import jax
+
+        H, W = 16, 24
+        src = jnp.asarray(smooth_texture(rng, H, W))
+        K = geo.make_intrinsics(20.0, 20.0, W / 2, H / 2)[None]
+
+        def loss(pose_vec, depth):
+            out, valid = warp.projective_inverse_warp(src, depth, pose_vec, K)
+            return jnp.sum((out - src) ** 2 * valid)
+
+        depth = jnp.full((1, H, W), 5.0)
+        pose = jnp.array([[0.0, 0.0, 0.3, 0.0, 0.0, 0.0]])
+        g = jax.grad(loss)(pose, depth)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0.0
+
+
+class TestFlowWarp:
+    def test_constant_flow(self, rng):
+        img = jnp.asarray(rng.uniform(size=(1, 8, 12, 2)), jnp.float32)
+        flow = jnp.broadcast_to(jnp.array([1.0, 0.0]), (1, 8, 12, 2))
+        out, _ = warp.flow_warp(img, flow)
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, :11]), np.asarray(img[0, :, 1:]), atol=1e-6
+        )
+
+
+class TestSSIM:
+    def test_identical_images(self, rng):
+        x = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+        d = ssim(x, x)
+        assert float(jnp.abs(d).max()) < 1e-5
+
+    def test_different_images(self, rng):
+        x = jnp.asarray(rng.uniform(size=(1, 16, 16, 3)), jnp.float32)
+        y = 1.0 - x
+        d = ssim(x, y)
+        assert float(d.mean()) > 0.1
+        assert d.shape == (1, 14, 14, 3)
+
+
+class TestPyramid:
+    def test_downsample_constant(self):
+        x = jnp.full((1, 8, 8, 3), 0.7)
+        levels = pyr.image_pyramid(x, 3)
+        assert [l.shape[1] for l in levels] == [8, 4, 2]
+        for l in levels:
+            np.testing.assert_allclose(np.asarray(l), 0.7, atol=1e-6)
+
+    def test_downsample_mean(self):
+        x = jnp.arange(16.0).reshape(1, 4, 4, 1)
+        d = pyr.downsample2(x)
+        np.testing.assert_allclose(
+            np.asarray(d[0, :, :, 0]), [[2.5, 4.5], [10.5, 12.5]], atol=1e-6
+        )
+
+    def test_resize_shapes(self, rng):
+        x = jnp.asarray(rng.uniform(size=(2, 8, 12, 3)), jnp.float32)
+        out = pyr.resize_bilinear(x, 16, 24)
+        assert out.shape == (2, 16, 24, 3)
