@@ -1,0 +1,121 @@
+"""KITTI odometry dataset IO.
+
+Pure-numpy host-side readers for the KITTI odometry benchmark layout:
+
+    root/
+      sequences/NN/image_2/*.png    (left color camera)
+      sequences/NN/calib.txt        (P0..P3 3x4 projections)
+      sequences/NN/times.txt
+      poses/NN.txt                  (GT: 12 floats/row = 3x4 [R|t], cam0)
+
+Reference parity: `<ref>/data/kitti_odom_loader.py` + the pose-file IO
+in `<ref>/kitti_eval/pose_evaluation_utils.py` (SURVEY.md R11/R12/R14).
+Train split seqs 00-08, eval 09-10 (reference convention).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+TRAIN_SEQS = tuple(f"{i:02d}" for i in range(9))
+EVAL_SEQS = ("09", "10")
+
+
+def parse_calib(text: str) -> dict[str, np.ndarray]:
+    """Parse a KITTI calib.txt: lines 'Pi: v0 v1 ... v11' -> (3, 4)."""
+    out: dict[str, np.ndarray] = {}
+    for line in text.strip().splitlines():
+        if ":" not in line:
+            continue
+        key, vals = line.split(":", 1)
+        arr = np.fromstring(vals, sep=" ", dtype=np.float64)
+        if arr.size == 12:
+            out[key.strip()] = arr.reshape(3, 4)
+        elif arr.size:
+            out[key.strip()] = arr
+    return out
+
+
+def intrinsics_from_projection(P: np.ndarray) -> np.ndarray:
+    """3x4 projection -> 3x3 K (KITTI rectified: K = P[:, :3])."""
+    return P[:3, :3].copy()
+
+
+def parse_poses(text: str) -> np.ndarray:
+    """KITTI GT pose file -> (N, 4, 4). Each row: 12 floats of [R|t]."""
+    rows = np.loadtxt(text.strip().splitlines() if "\n" in text else [text])
+    rows = np.atleast_2d(rows)
+    n = rows.shape[0]
+    mats = np.tile(np.eye(4), (n, 1, 1))
+    mats[:, :3, :4] = rows.reshape(n, 3, 4)
+    return mats
+
+
+def format_poses_kitti(poses: np.ndarray) -> str:
+    """(N, 4, 4) -> KITTI 12-value row text (inverse of `parse_poses`)."""
+    rows = poses[:, :3, :4].reshape(len(poses), 12)
+    return "\n".join(" ".join(f"{v:.9e}" for v in row) for row in rows) + "\n"
+
+
+def write_poses_kitti(path: str, poses: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write(format_poses_kitti(poses))
+
+
+@dataclass
+class KittiOdometry:
+    """One KITTI odometry sequence on disk (host-side, lazy frame IO)."""
+
+    root: str
+    sequence: str
+    image_dir: str = field(init=False)
+    frames: list[str] = field(init=False)
+    K: np.ndarray = field(init=False)
+    times: np.ndarray | None = field(init=False, default=None)
+    gt_poses: np.ndarray | None = field(init=False, default=None)
+
+    def __post_init__(self):
+        seq_dir = os.path.join(self.root, "sequences", self.sequence)
+        self.image_dir = os.path.join(seq_dir, "image_2")
+        self.frames = sorted(
+            f
+            for f in os.listdir(self.image_dir)
+            if f.endswith((".png", ".jpg"))
+        )
+        with open(os.path.join(seq_dir, "calib.txt")) as f:
+            calib = parse_calib(f.read())
+        self.K = intrinsics_from_projection(calib["P2"])
+        times_path = os.path.join(seq_dir, "times.txt")
+        if os.path.exists(times_path):
+            self.times = np.loadtxt(times_path)
+        gt_path = os.path.join(self.root, "poses", self.sequence + ".txt")
+        if os.path.exists(gt_path):
+            with open(gt_path) as f:
+                self.gt_poses = parse_poses(f.read())
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def frame_path(self, i: int) -> str:
+        return os.path.join(self.image_dir, self.frames[i])
+
+    def load_frame(self, i: int, height: int | None = None, width: int | None = None) -> np.ndarray:
+        """Load frame i as float32 HWC in [0, 1], optionally resized."""
+        import cv2
+
+        img = cv2.imread(self.frame_path(i), cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if height is not None and width is not None:
+            img = cv2.resize(img, (width, height), interpolation=cv2.INTER_AREA)
+        return img.astype(np.float32) / 255.0
+
+    def scaled_intrinsics(self, height: int, width: int, native_hw: tuple[int, int]) -> np.ndarray:
+        """K rescaled from native (H, W) to a target resolution."""
+        nh, nw = native_hw
+        K = self.K.copy()
+        K[0] *= width / nw
+        K[1] *= height / nh
+        return K

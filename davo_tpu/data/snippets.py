@@ -1,0 +1,155 @@
+"""Snippet dataset: fixed-length frame windows -> fixed-shape batches.
+
+Reference parity: `<ref>/data_loader.py` `load_train_batch` — 3-frame
+snippets (target = middle frame, sources = neighbors), per-snippet
+intrinsics, random scale/crop/color augmentation (SURVEY.md R9 [H]).
+
+TPU-first: batches are plain dicts of fixed-shape float32 numpy arrays
+(NHWC) so every training step compiles once; augmentation runs on host
+in numpy; device transfer is handled by `prefetch.device_prefetch`.
+
+A "source sequence" is anything with:
+    __len__ / frame(i) -> (H, W, 3) float32
+    K (3, 3) intrinsics at frame resolution
+    optionally seg(i) -> (H, W) int32, gt_rel(i) -> (4, 4)
+(`SyntheticSequence` natively; `KittiOdometry` via `KittiAdapter`.)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+
+
+def snippet_indices(n_frames: int, seq_length: int = 3, stride: int = 1) -> list[int]:
+    """Target-frame indices t such that [t-k, t+k] fits in the sequence."""
+    k = seq_length // 2
+    return list(range(k, n_frames - k, stride))
+
+
+@dataclass
+class KittiAdapter:
+    """Adapts `KittiOdometry` to the snippet-source protocol at a fixed
+    resolution (resize + intrinsics rescale done once here)."""
+
+    seq: "object"
+    height: int
+    width: int
+    native_hw: tuple[int, int]
+
+    def __post_init__(self):
+        self.K = self.seq.scaled_intrinsics(self.height, self.width, self.native_hw)
+
+    def __len__(self):
+        return len(self.seq)
+
+    def frame(self, i):
+        return self.seq.load_frame(i, self.height, self.width)
+
+    def gt_rel(self, i):
+        gt = self.seq.gt_poses
+        if gt is None:
+            return None
+        return np.linalg.inv(gt[i]) @ gt[i + 1]
+
+
+class SnippetDataset:
+    """Iterates shuffled fixed-shape snippet batches from a source sequence."""
+
+    def __init__(
+        self,
+        source,
+        batch_size: int = 4,
+        seq_length: int = 3,
+        with_seg: bool = False,
+        with_gt: bool = False,
+        augment: bool = False,
+        seed: int = 0,
+    ):
+        assert seq_length % 2 == 1, "seq_length must be odd (middle target)"
+        self.source = source
+        self.batch_size = batch_size
+        self.seq_length = seq_length
+        self.with_seg = with_seg and hasattr(source, "seg")
+        self.with_gt = with_gt
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        self.indices = snippet_indices(len(source), seq_length)
+        self._frame_cache: dict[int, np.ndarray] = {}
+
+    def _frame(self, i: int) -> np.ndarray:
+        if i not in self._frame_cache:
+            self._frame_cache[i] = self.source.frame(i)
+        return self._frame_cache[i]
+
+    def _color_jitter(self, imgs: list[np.ndarray]) -> list[np.ndarray]:
+        """Shared random gamma/brightness/color across a snippet
+        (photometric consistency across frames must be preserved)."""
+        gamma = self.rng.uniform(0.8, 1.2)
+        bright = self.rng.uniform(0.8, 1.2)
+        color = self.rng.uniform(0.9, 1.1, size=3)
+        return [
+            np.clip((img**gamma) * bright * color, 0.0, 1.0).astype(np.float32)
+            for img in imgs
+        ]
+
+    def snippet(self, t: int) -> dict:
+        """One snippet centered at t: target + (seq_length-1) sources."""
+        k = self.seq_length // 2
+        frames = [self._frame(i) for i in range(t - k, t + k + 1)]
+        if self.augment:
+            frames = self._color_jitter(frames)
+        target = frames[k]
+        sources = np.stack(frames[:k] + frames[k + 1 :], 0)
+        out = {
+            "target": target,
+            "sources": sources,
+            "K": np.asarray(self.source.K, np.float32),
+        }
+        if self.with_seg:
+            out["seg"] = self.source.seg(t).astype(np.int32)
+        if self.with_gt:
+            # Pose of each source relative to target-cam frame: maps
+            # target-cam points to source-cam points (warp convention).
+            rels = []
+            for s in list(range(t - k, t)) + list(range(t + 1, t + k + 1)):
+                rels.append(self._warp_pose(t, s))
+            out["gt_pose"] = np.stack(rels, 0).astype(np.float32)
+        return out
+
+    def _warp_pose(self, target: int, source: int) -> np.ndarray:
+        if hasattr(self.source, "warp_pose"):
+            return self.source.warp_pose(target, source)
+        # Compose from per-step gt_rel (works for both directions).
+        T = np.eye(4)
+        if source < target:
+            for i in range(source, target):
+                T = T @ self.source.gt_rel(i)
+            return np.linalg.inv(T)
+        for i in range(target, source):
+            T = T @ self.source.gt_rel(i)
+        return np.linalg.inv(T)
+
+    def batches(self, steps: int | None = None, shuffle: bool = True) -> Iterator[dict]:
+        """Yield `steps` batches (or loop indefinitely if None)."""
+        if len(self.indices) < self.batch_size:
+            return  # sequence too short for even one batch
+        produced = 0
+        while steps is None or produced < steps:
+            order = (
+                self.rng.permutation(self.indices)
+                if shuffle
+                else np.asarray(self.indices)
+            )
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                chosen = order[start : start + self.batch_size]
+                items = [self.snippet(int(t)) for t in chosen]
+                yield {
+                    key: np.stack([it[key] for it in items], 0)
+                    for key in items[0]
+                }
+                produced += 1
+                if steps is not None and produced >= steps:
+                    return

@@ -1,0 +1,208 @@
+"""Synthetic VO sequences with exact ground truth.
+
+Renders a camera moving through a textured-plane world (fronto-parallel
+plane at z = plane_z in world frame). Every quantity the VO stack
+consumes — images, depth maps, relative/absolute poses, optical flow,
+19-class segmentation labels — is available in closed form, which gives
+the integration tests an exact oracle (SURVEY.md §4.3: "tiny synthetic
+sequence with exact GT; train tiny nets to overfit; assert ATE -> ~0").
+
+Conventions (shared with davo_tpu.core.warp):
+* Camera looks along +z; pixel = K [x/z, y/z, 1].
+* `pose(i)` returns C_i = T_{world<-cam_i} (cam-to-world).
+* `gt_rel(i)` returns C_i^{-1} C_{i+1} = T_{cam_{i+1} -> cam_i}, i.e.
+  the odometry increment such that poses[k+1] = poses[k] @ rel[k]; it
+  equals the warp pose for target = frame i+1, source = frame i.
+
+Host-side numpy only (this is a data source, not device compute).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.ndimage import gaussian_filter, map_coordinates
+
+NUM_SEG_CLASSES = 19
+
+
+def _se3_exp_np(xi: np.ndarray) -> np.ndarray:
+    """Minimal numpy se3 exp (float64) for pose generation."""
+    v, w = xi[:3], xi[3:]
+    th = np.linalg.norm(w)
+    W = np.array([[0, -w[2], w[1]], [w[2], 0, -w[0]], [-w[1], w[0], 0]])
+    if th < 1e-9:
+        R = np.eye(3) + W
+        V = np.eye(3) + 0.5 * W
+    else:
+        W2 = W @ W
+        R = np.eye(3) + np.sin(th) / th * W + (1 - np.cos(th)) / th**2 * W2
+        V = (
+            np.eye(3)
+            + (1 - np.cos(th)) / th**2 * W
+            + (th - np.sin(th)) / th**3 * W2
+        )
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = V @ v
+    return T
+
+
+class SyntheticSequence:
+    """A renderable synthetic odometry sequence with exact GT."""
+
+    def __init__(
+        self,
+        n_frames: int = 12,
+        height: int = 64,
+        width: int = 96,
+        seed: int = 0,
+        plane_z: float = 60.0,
+        forward_speed: float = 0.8,
+        jitter: float = 0.05,
+        rot_jitter: float = 0.004,
+        texture_res: int = 1024,
+        texture_extent: float = 120.0,
+    ):
+        self.n_frames = n_frames
+        self.height = height
+        self.width = width
+        self.plane_z = plane_z
+        self.texture_extent = texture_extent
+        rng = np.random.default_rng(seed)
+
+        # Multi-octave smooth texture in [0, 1], rich enough for
+        # photometric gradients at several scales.
+        # Octave sigmas are chosen >= one pixel footprint on the plane
+        # (z/f world-units/px * res/extent texels/world-unit ~ 9 texels)
+        # so the point-sampled rendering is alias-free and warps are
+        # photometrically reconstructible.
+        tex = np.zeros((texture_res, texture_res, 3), np.float32)
+        for octave, sigma in ((1.0, 48), (0.5, 16), (0.3, 8)):
+            layer = rng.uniform(0, 1, (texture_res, texture_res, 3)).astype(np.float32)
+            for c in range(3):
+                layer[..., c] = gaussian_filter(layer[..., c], sigma)
+            layer -= layer.min()
+            layer /= layer.max() + 1e-6
+            tex += octave * layer
+        tex /= tex.max()
+        self.texture = tex
+
+        # Static world "semantic" labels: quantize a smoothed scalar
+        # field into NUM_SEG_CLASSES regions (stable across views).
+        # Region labels as Voronoi cells of random seed points: coherent
+        # Cityscapes-like blobs whose scale (~extent/sqrt(n_cells)) is
+        # far above the pixel footprint.
+        n_cells = 64
+        cell_xy = rng.uniform(0, texture_res, (n_cells, 2)).astype(np.float32)
+        cell_label = rng.integers(0, NUM_SEG_CLASSES, n_cells)
+        yy, xx = np.meshgrid(
+            np.arange(texture_res, dtype=np.float32),
+            np.arange(texture_res, dtype=np.float32),
+            indexing="ij",
+        )
+        best = np.full((texture_res, texture_res), np.inf, np.float32)
+        seg = np.zeros((texture_res, texture_res), np.int32)
+        for (cx, cy), lab in zip(cell_xy, cell_label):
+            d = (xx - cx) ** 2 + (yy - cy) ** 2
+            closer = d < best
+            best[closer] = d[closer]
+            seg[closer] = lab
+        self.seg_texture = seg
+
+        # Intrinsics: moderate FoV.
+        f = 0.9 * width
+        self.K = np.array(
+            [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]], np.float64
+        )
+
+        # Smooth forward trajectory with lateral/rotational jitter.
+        poses = [np.eye(4)]
+        for _ in range(n_frames - 1):
+            xi = np.concatenate(
+                [
+                    rng.normal(0, jitter, 2),  # lateral tx, ty
+                    [forward_speed + rng.normal(0, jitter)],  # tz
+                    rng.normal(0, rot_jitter, 3),  # rotation
+                ]
+            )
+            poses.append(poses[-1] @ _se3_exp_np(xi))
+        self.poses = np.stack(poses)  # (N, 4, 4) cam-to-world
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def pose(self, i: int) -> np.ndarray:
+        return self.poses[i]
+
+    def gt_rel(self, i: int) -> np.ndarray:
+        """C_i^{-1} C_{i+1}: odometry increment frame i -> i+1."""
+        return np.linalg.inv(self.poses[i]) @ self.poses[i + 1]
+
+    def warp_pose(self, target: int, source: int) -> np.ndarray:
+        """T mapping target-cam points to source-cam points."""
+        return np.linalg.inv(self.poses[source]) @ self.poses[target]
+
+    # ------------------------------------------------------------------
+    def _rays(self) -> np.ndarray:
+        """(3, H, W) unit-z camera rays K^-1 [u, v, 1]."""
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        pix = np.stack([u, v, np.ones_like(u)], 0).reshape(3, -1).astype(np.float64)
+        rays = np.linalg.inv(self.K) @ pix
+        return rays.reshape(3, self.height, self.width)
+
+    def _plane_hits(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """World xy hit coords + camera depth for every pixel of frame i."""
+        C = self.poses[i]
+        rays = self._rays()
+        d_w = np.einsum("ij,jhw->ihw", C[:3, :3], rays)
+        o = C[:3, 3]
+        tstar = (self.plane_z - o[2]) / d_w[2]
+        px = o[0] + tstar * d_w[0]
+        py = o[1] + tstar * d_w[1]
+        return px, py, tstar  # depth in cam frame == tstar (rays have z=1)
+
+    def _tex_coords(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        res = self.texture.shape[0]
+        half = self.texture_extent / 2
+        tx = (px + half) / self.texture_extent * (res - 1)
+        ty = (py + half) / self.texture_extent * (res - 1)
+        return np.stack([ty, tx])
+
+    def frame(self, i: int) -> np.ndarray:
+        """(H, W, 3) float32 image in [0, 1]."""
+        px, py, _ = self._plane_hits(i)
+        coords = self._tex_coords(px, py)
+        out = np.stack(
+            [
+                map_coordinates(self.texture[..., c], coords, order=1, mode="nearest")
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        return out.astype(np.float32)
+
+    def depth(self, i: int) -> np.ndarray:
+        """(H, W) float32 camera-frame depth of frame i."""
+        _, _, t = self._plane_hits(i)
+        return t.astype(np.float32)
+
+    def seg(self, i: int) -> np.ndarray:
+        """(H, W) int32 labels in [0, NUM_SEG_CLASSES)."""
+        px, py, _ = self._plane_hits(i)
+        coords = self._tex_coords(px, py)
+        return map_coordinates(
+            self.seg_texture, coords, order=0, mode="nearest"
+        ).astype(np.int32)
+
+    def gt_flow(self, i: int, j: int) -> np.ndarray:
+        """(H, W, 2) exact optical flow from frame i to frame j (du, dv)."""
+        px, py, t = self._plane_hits(i)
+        p_w = np.stack([px, py, np.full_like(px, self.plane_z)], 0)
+        Cj_inv = np.linalg.inv(self.poses[j])
+        p_c = np.einsum("ij,jhw->ihw", Cj_inv[:3, :3], p_w) + Cj_inv[:3, 3][:, None, None]
+        proj = np.einsum("ij,jhw->ihw", self.K, p_c)
+        u2 = proj[0] / proj[2]
+        v2 = proj[1] / proj[2]
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        return np.stack([u2 - u, v2 - v], axis=-1).astype(np.float32)

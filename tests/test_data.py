@@ -1,0 +1,204 @@
+"""Data layer tests: synthetic GT self-consistency (the convention
+cross-check for the whole stack), KITTI IO round-trips, snippet
+batching, prefetch."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.core import warp
+from davo_tpu.data.kitti import (
+    KittiOdometry,
+    format_poses_kitti,
+    parse_calib,
+    parse_poses,
+)
+from davo_tpu.data.snippets import SnippetDataset, snippet_indices
+from davo_tpu.data.synthetic import NUM_SEG_CLASSES, SyntheticSequence
+from davo_tpu.data.prefetch import device_prefetch
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return SyntheticSequence(n_frames=6, height=48, width=64, seed=3)
+
+
+class TestSyntheticGT:
+    def test_shapes_and_ranges(self, seq):
+        img = seq.frame(0)
+        assert img.shape == (48, 64, 3)
+        assert 0.0 <= img.min() and img.max() <= 1.0
+        assert img.std() > 0.02  # textured, not flat
+        d = seq.depth(0)
+        assert d.shape == (48, 64)
+        assert np.all(d > 1.0)
+        s = seq.seg(0)
+        assert s.min() >= 0 and s.max() < NUM_SEG_CLASSES
+
+    def test_warp_consistency(self, seq):
+        """THE convention cross-check: warping frame j through depth_i and
+        warp_pose(i, j) must reconstruct frame i (exact world, smooth
+        texture => small photometric error)."""
+        i, j = 2, 3
+        tgt = jnp.asarray(seq.frame(i))[None]
+        src = jnp.asarray(seq.frame(j))[None]
+        depth = jnp.asarray(seq.depth(i))[None]
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        pose = jnp.asarray(seq.warp_pose(i, j), jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        err = float((jnp.abs(recon - tgt) * valid).sum() / (valid.sum() * 3))
+        assert float(valid.mean()) > 0.9
+        assert err < 0.01, f"photometric err {err}"
+
+    def test_warp_consistency_backward(self, seq):
+        i, j = 3, 2  # source is the earlier frame
+        tgt = jnp.asarray(seq.frame(i))[None]
+        src = jnp.asarray(seq.frame(j))[None]
+        depth = jnp.asarray(seq.depth(i))[None]
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        pose = jnp.asarray(seq.warp_pose(i, j), jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        err = float((jnp.abs(recon - tgt) * valid).sum() / (valid.sum() * 3))
+        assert err < 0.01
+
+    def test_gt_flow_matches_flow_warp(self, seq):
+        i, j = 1, 2
+        tgt = jnp.asarray(seq.frame(i))[None]
+        src = jnp.asarray(seq.frame(j))[None]
+        flow = jnp.asarray(seq.gt_flow(i, j))[None]
+        recon, valid = warp.flow_warp(src, flow)
+        err = float((jnp.abs(recon - tgt) * valid).sum() / (valid.sum() * 3))
+        assert err < 0.01
+
+    def test_rel_compose_to_absolute(self, seq):
+        acc = np.eye(4)
+        for i in range(seq.n_frames - 1):
+            acc = acc @ seq.gt_rel(i)
+        np.testing.assert_allclose(acc, seq.pose(seq.n_frames - 1), atol=1e-9)
+
+    def test_seg_static_across_views(self, seq):
+        """Labels are world-anchored: the seg of frame i warped via GT
+        must mostly agree with the seg of frame j (nearest-neighbor)."""
+        s0 = seq.seg(0)
+        s1 = seq.seg(1)
+        flow = seq.gt_flow(0, 1)
+        h, w = s0.shape
+        u, v = np.meshgrid(np.arange(w), np.arange(h))
+        u2 = np.clip(np.round(u + flow[..., 0]), 0, w - 1).astype(int)
+        v2 = np.clip(np.round(v + flow[..., 1]), 0, h - 1).astype(int)
+        agree = (s1[v2, u2] == s0).mean()
+        assert agree > 0.9
+
+
+KITTI_CALIB = """P0: 7.188560000000e+02 0.000000000000e+00 6.071928000000e+02 0.000000000000e+00 0.000000000000e+00 7.188560000000e+02 1.852157000000e+02 0.000000000000e+00 0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 0.000000000000e+00
+P2: 7.188560000000e+02 0.000000000000e+00 6.071928000000e+02 4.538225000000e+01 0.000000000000e+00 7.188560000000e+02 1.852157000000e+02 -1.130887000000e-01 0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 3.779761000000e-03
+"""
+
+
+class TestKittiIO:
+    def test_parse_calib(self):
+        calib = parse_calib(KITTI_CALIB)
+        assert calib["P2"].shape == (3, 4)
+        assert calib["P2"][0, 0] == pytest.approx(718.856)
+
+    def test_poses_roundtrip(self, rng):
+        from davo_tpu.core import geometry as geo
+
+        rel = np.asarray(geo.se3_exp(jnp.asarray(rng.normal(size=(5, 6)) * 0.1)))
+        poses = np.asarray(geo.trajectory_from_relatives(jnp.asarray(rel)))
+        text = format_poses_kitti(poses)
+        back = parse_poses(text)
+        np.testing.assert_allclose(back, poses, atol=1e-6)
+
+    def test_sequence_dir(self, tmp_path, seq):
+        """Write a fake KITTI tree from the synthetic seq; read it back."""
+        import cv2
+
+        root = tmp_path / "kitti"
+        sdir = root / "sequences" / "05" / "image_2"
+        os.makedirs(sdir)
+        for i in range(4):
+            img = (seq.frame(i) * 255).astype(np.uint8)
+            cv2.imwrite(str(sdir / f"{i:06d}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        (root / "sequences" / "05" / "calib.txt").write_text(KITTI_CALIB)
+        np.savetxt(root / "sequences" / "05" / "times.txt", np.arange(4) * 0.1)
+        os.makedirs(root / "poses")
+        (root / "poses" / "05.txt").write_text(format_poses_kitti(seq.poses[:4]))
+
+        ko = KittiOdometry(str(root), "05")
+        assert len(ko) == 4
+        assert ko.K[0, 0] == pytest.approx(718.856)
+        assert ko.gt_poses.shape == (4, 4, 4)
+        frame = ko.load_frame(1, 24, 32)
+        assert frame.shape == (24, 32, 3)
+        K = ko.scaled_intrinsics(24, 32, (48, 64))
+        assert K[0, 0] == pytest.approx(718.856 * 32 / 64)
+
+
+class TestSnippets:
+    def test_indices(self):
+        assert snippet_indices(6, 3) == [1, 2, 3, 4]
+        assert snippet_indices(10, 5, stride=2) == [2, 4, 6]
+
+    def test_batch_shapes(self, seq):
+        ds = SnippetDataset(seq, batch_size=2, with_seg=True, with_gt=True)
+        batch = next(ds.batches(steps=1))
+        assert batch["target"].shape == (2, 48, 64, 3)
+        assert batch["sources"].shape == (2, 2, 48, 64, 3)
+        assert batch["K"].shape == (2, 3, 3)
+        assert batch["seg"].shape == (2, 48, 64)
+        assert batch["gt_pose"].shape == (2, 2, 4, 4)
+
+    def test_gt_pose_is_warp_pose(self, seq):
+        """gt_pose[0] (prev source) must equal warp_pose(t, t-1)."""
+        ds = SnippetDataset(seq, batch_size=1, with_gt=True)
+        t = 2
+        snip = ds.snippet(t)
+        np.testing.assert_allclose(
+            snip["gt_pose"][0], seq.warp_pose(t, t - 1), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            snip["gt_pose"][1], seq.warp_pose(t, t + 1), atol=1e-6
+        )
+
+    def test_gt_pose_warps_correctly(self, seq):
+        """End-to-end: batch gt_pose reconstructs the target from sources."""
+        ds = SnippetDataset(seq, batch_size=1, with_gt=True)
+        snip = ds.snippet(2)
+        tgt = jnp.asarray(snip["target"])[None]
+        src0 = jnp.asarray(snip["sources"][0])[None]
+        depth = jnp.asarray(seq.depth(2))[None]
+        K = jnp.asarray(snip["K"])[None]
+        pose = jnp.asarray(snip["gt_pose"][0])[None]
+        recon, valid = warp.projective_inverse_warp(src0, depth, pose, K)
+        err = float((jnp.abs(recon - tgt) * valid).sum() / (valid.sum() * 3))
+        assert err < 0.01
+
+    def test_augment_preserves_shape_and_range(self, seq):
+        ds = SnippetDataset(seq, batch_size=2, augment=True, seed=1)
+        batch = next(ds.batches(steps=1))
+        assert batch["target"].shape == (2, 48, 64, 3)
+        assert batch["target"].min() >= 0.0 and batch["target"].max() <= 1.0
+
+    def test_too_short_sequence_yields_nothing(self):
+        """Regression: used to spin forever when no snippet fits."""
+        tiny = SyntheticSequence(n_frames=2, height=16, width=16)
+        assert list(SnippetDataset(tiny, batch_size=1).batches(steps=5)) == []
+
+    def test_deterministic_with_seed(self, seq):
+        b1 = next(SnippetDataset(seq, batch_size=2, seed=7).batches(steps=1))
+        b2 = next(SnippetDataset(seq, batch_size=2, seed=7).batches(steps=1))
+        np.testing.assert_array_equal(b1["target"], b2["target"])
+
+
+class TestPrefetch:
+    def test_yields_all_batches_on_device(self, seq):
+        ds = SnippetDataset(seq, batch_size=2)
+        batches = list(ds.batches(steps=3))
+        out = list(device_prefetch(iter(batches)))
+        assert len(out) == 3
+        for got, want in zip(out, batches):
+            assert isinstance(got["target"], jnp.ndarray)
+            np.testing.assert_allclose(np.asarray(got["target"]), want["target"])
