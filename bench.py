@@ -1,0 +1,76 @@
+"""Benchmark harness: flagship VO inference throughput on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: frames/s of streaming pose inference (full DAVO forward —
+flow + attention + pose — over consecutive frame pairs), the
+reference's `test_kitti_pose.py` hot loop (SURVEY.md §3.2).
+`vs_baseline` is measured against BASELINE_FPS below (reference
+single-GPU throughput; unverifiable this round — see BASELINE.md — so
+a conservative 2020-era single-GPU estimate is used until the real
+number is obtainable).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Reference DAVO (TF1, single 2020-era GPU) streaming pose inference.
+# Placeholder until the reference can be run (BASELINE.md): PWC-flow +
+# attention + pose at 128x416 on a GTX-1080-class GPU ~ O(15) fps.
+BASELINE_FPS = 15.0
+
+BATCH = 16
+WARMUP = 2
+ITERS = 8
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from davo_tpu.config import ModelConfig
+    from davo_tpu.models.davo import DavoModel
+
+    cfg = ModelConfig(attention="flow_seg")
+    model = DavoModel(cfg)
+    rng = np.random.default_rng(0)
+    H, W = cfg.img_height, cfg.img_width
+    targets = jnp.asarray(rng.uniform(size=(BATCH, H, W, 3)), jnp.float32)
+    sources = jnp.asarray(rng.uniform(size=(BATCH, 1, H, W, 3)), jnp.float32)
+    seg = jnp.asarray(rng.integers(0, 19, (BATCH, H, W)), jnp.int32)
+    params = model.init(jax.random.key(0), targets, sources, seg=seg)
+
+    @jax.jit
+    def infer(targets, sources, seg):
+        out = model.apply(params, targets, sources, seg=seg, train=False)
+        return out["poses"]
+
+    # Compile + warmup.
+    for _ in range(WARMUP):
+        infer(targets, sources, seg).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        poses = infer(targets, sources, seg)
+    poses.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    fps = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "pose_infer_frames_per_s",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

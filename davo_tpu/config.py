@@ -1,0 +1,88 @@
+"""Typed configuration tree for davo_tpu.
+
+Replaces the reference's stringly-typed `tf.app.flags` + `--version`
+architecture selector (`<ref>/train.py`, SURVEY.md §5 "Config / flag
+system") with nested dataclasses; `models/presets.py` maps DAVO-style
+version names to full configs so reference ablations stay one flag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ModelConfig:
+    img_height: int = 128
+    img_width: int = 416
+    seq_length: int = 3          # frames per snippet (odd, middle = target)
+    num_scales: int = 4          # disparity / loss pyramid levels
+    num_seg_classes: int = 19    # Cityscapes classes for region attention
+    # Network widths (reference-family sizes, lane-aligned where cheap).
+    pose_channels: tuple = (16, 32, 64, 128, 256, 256, 256)
+    disp_channels: tuple = (32, 64, 128, 256, 512, 512, 512)
+    flow_levels: int = 4
+    flow_search_range: int = 4
+    attention: str = "flow_seg"  # none | flow | flow_seg (paper's full model)
+    pose_scale: float = 0.01     # output scaling, reference convention
+    compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
+    use_pallas: bool = True      # fused Pallas kernels where beneficial
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 4
+    learning_rate: float = 2e-4
+    beta1: float = 0.9
+    max_steps: int = 200_000
+    smooth_weight: float = 0.5
+    ssim_weight: float = 0.85    # mix: ssim_weight*SSIM + (1-w)*L1
+    pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
+    checkpoint_every: int = 5_000
+    log_every: int = 100
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    data: int = 1     # data-parallel axis size
+    model: int = 1    # tensor-parallel axis size
+    window: int = 1   # BA keyframe-block axis size
+
+
+@dataclass
+class BAConfig:
+    window_size: int = 8         # keyframes per sliding window
+    max_iterations: int = 10     # Gauss-Newton outer iterations
+    damping: float = 1e-4        # Levenberg-Marquardt lambda
+    pcg_iterations: int = 32
+    pcg_tol: float = 1e-6
+    huber_delta: float = 1.0     # robust loss on reprojection residuals
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    ba: BAConfig = field(default_factory=BAConfig)
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def apply_overrides(cfg: Config, overrides: dict[str, Any]) -> Config:
+    """Apply dotted-path overrides, e.g. {"model.attention": "none"}."""
+    for path, value in overrides.items():
+        parts = path.split(".")
+        node = cfg
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        leaf = parts[-1]
+        current = getattr(node, leaf)
+        if current is not None and not isinstance(value, type(current)):
+            value = type(current)(value)
+        object.__setattr__(node, leaf, value)
+    return cfg

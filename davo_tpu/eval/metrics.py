@@ -1,0 +1,102 @@
+"""Trajectory metrics: ATE (scale-aligned) and KITTI t_err/r_err.
+
+Numpy host-side (eval is IO-bound; device compute is the model).
+
+KITTI segment-error semantics follow the odometry devkit
+(`<ref>/kitti_benchmark/evaluate_odometry.cpp`, SURVEY.md R13 [H]):
+for each start frame (every `step` frames) and each segment length in
+{100..800} m of driven path, the relative-pose error
+``E = inv(inv(gt_i) gt_j) (inv(pred_i) pred_j)`` contributes
+``t_err = |trans(E)| / len`` and ``r_err = angle(E) / len``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+KITTI_LENGTHS = (100.0, 200.0, 300.0, 400.0, 500.0, 600.0, 700.0, 800.0)
+
+
+def trajectory_distances(poses: np.ndarray) -> np.ndarray:
+    """Cumulative driven path length per frame. poses: (N, 4, 4)."""
+    steps = np.linalg.norm(np.diff(poses[:, :3, 3], axis=0), axis=-1)
+    return np.concatenate([[0.0], np.cumsum(steps)])
+
+
+def _rotation_angle(R: np.ndarray) -> float:
+    return float(np.arccos(np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)))
+
+
+def kitti_seg_errors(
+    gt: np.ndarray,
+    pred: np.ndarray,
+    lengths: tuple = KITTI_LENGTHS,
+    step: int = 10,
+) -> dict:
+    """KITTI odometry benchmark errors.
+
+    gt, pred: (N, 4, 4) absolute poses (same frame indexing).
+    Returns dict with t_err (%), r_err (deg per 100 m), and the raw
+    per-segment list [(first_frame, len, t_err, r_err), ...].
+    """
+    assert gt.shape == pred.shape
+    dist = trajectory_distances(gt)
+    segments = []
+    for first in range(0, len(gt), step):
+        for seg_len in lengths:
+            target = dist[first] + seg_len
+            j = int(np.searchsorted(dist, target))
+            if j >= len(gt):
+                continue
+            gt_rel = np.linalg.inv(gt[first]) @ gt[j]
+            pred_rel = np.linalg.inv(pred[first]) @ pred[j]
+            E = np.linalg.inv(gt_rel) @ pred_rel
+            t_err = np.linalg.norm(E[:3, 3]) / seg_len
+            r_err = _rotation_angle(E[:3, :3]) / seg_len
+            segments.append((first, seg_len, t_err, r_err))
+    if not segments:
+        return {"t_err_pct": np.nan, "r_err_deg_per_100m": np.nan, "segments": []}
+    t = np.mean([s[2] for s in segments])
+    r = np.mean([s[3] for s in segments])
+    return {
+        "t_err_pct": 100.0 * t,
+        "r_err_deg_per_100m": np.degrees(r) * 100.0,
+        "segments": segments,
+    }
+
+
+def ate_rmse(
+    gt: np.ndarray, pred: np.ndarray, align_scale: bool = True
+) -> float:
+    """Absolute trajectory error RMSE after translation (+scale) alignment.
+
+    gt, pred: (N, 4, 4) or (N, 3) positions. Alignment matches the
+    reference's snippet evaluation: subtract the first (or mean) offset
+    and least-squares-fit a single scale (monocular scale ambiguity).
+    """
+    gt_p = gt[:, :3, 3] if gt.ndim == 3 else gt
+    pr_p = pred[:, :3, 3] if pred.ndim == 3 else pred
+    gt_c = gt_p - gt_p.mean(0)
+    pr_c = pr_p - pr_p.mean(0)
+    if align_scale:
+        denom = float((pr_c * pr_c).sum())
+        scale = float((gt_c * pr_c).sum()) / denom if denom > 1e-12 else 1.0
+        pr_c = pr_c * scale
+    err = gt_c - pr_c
+    return float(np.sqrt((err**2).sum(-1).mean()))
+
+
+def snippet_ate(
+    gt: np.ndarray, pred: np.ndarray, snippet_len: int = 5
+) -> tuple[float, float]:
+    """Mean and std of per-snippet scale-aligned ATE over a sequence.
+
+    Reference: `<ref>/kitti_eval/eval_pose.py` — each `snippet_len`-frame
+    window aligned independently (SURVEY.md R12).
+    """
+    ates = []
+    for i in range(0, len(gt) - snippet_len + 1):
+        ates.append(
+            ate_rmse(gt[i : i + snippet_len], pred[i : i + snippet_len])
+        )
+    return float(np.mean(ates)), float(np.std(ates))

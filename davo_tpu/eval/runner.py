@@ -1,0 +1,104 @@
+"""Streaming sequence inference: frames -> relative poses -> trajectory.
+
+Reference parity: `<ref>/test_kitti_pose.py` (snippet loop + TUM dumps,
+SURVEY.md §3.2) re-designed for TPU streaming: consecutive frame pairs
+are packed into fixed-size batches (one compile), the pose net runs
+batched on device, and the global trajectory is assembled with the
+O(log N) associative scan. The same batch axis is what `dist/` shards
+across chips for BASELINE config #5 (replicated nets, sharded pairs).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from davo_tpu.core import geometry as geo
+from davo_tpu.eval.metrics import ate_rmse, kitti_seg_errors, snippet_ate
+
+
+def predict_sequence(
+    apply_fn: Callable,
+    frames: np.ndarray,
+    seg: np.ndarray | None = None,
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Predict all consecutive relative poses of a sequence.
+
+    apply_fn(target, source, seg) -> (B, 6) pose vectors mapping
+    target-cam points to source-cam points (the model convention);
+    callers typically pass a jitted closure over params.
+
+    frames: (N, H, W, 3) float32. Returns (N-1, 4, 4) odometry
+    increments rel[k] = T_{cam_k <- cam_{k+1}}^(-1)-style transforms
+    such that poses[k+1] = poses[k] @ rel[k].
+    """
+    n_pairs = len(frames) - 1
+    targets = frames[1:]
+    sources = frames[:-1]
+    segs = seg[1:] if seg is not None else None
+
+    rel_vecs = []
+    for start in range(0, n_pairs, batch_size):
+        end = min(start + batch_size, n_pairs)
+        pad = batch_size - (end - start)
+        tgt = targets[start:end]
+        src = sources[start:end]
+        sg = segs[start:end] if segs is not None else None
+        if pad:  # fixed shapes: one compile for every batch
+            tgt = np.concatenate([tgt, np.repeat(tgt[-1:], pad, 0)], 0)
+            src = np.concatenate([src, np.repeat(src[-1:], pad, 0)], 0)
+            if sg is not None:
+                sg = np.concatenate([sg, np.repeat(sg[-1:], pad, 0)], 0)
+        vec = apply_fn(jnp.asarray(tgt), jnp.asarray(src), sg)
+        rel_vecs.append(np.asarray(vec)[: end - start])
+    vecs = np.concatenate(rel_vecs, 0)  # (N-1, 6)
+
+    # vec maps target(k+1) -> source(k): that IS the increment matrix.
+    rels = np.asarray(geo.pose_vec_to_mat(jnp.asarray(vecs)))
+    return rels
+
+
+def assemble_trajectory(rels: np.ndarray) -> np.ndarray:
+    """(N-1, 4, 4) increments -> (N, 4, 4) absolute poses from identity."""
+    return np.asarray(
+        geo.trajectory_from_relatives(jnp.asarray(rels, jnp.float32))
+    )
+
+
+def evaluate_sequence(
+    pred_poses: np.ndarray, gt_poses: np.ndarray, snippet_len: int = 5
+) -> dict:
+    """All reference metrics for one sequence."""
+    n = min(len(pred_poses), len(gt_poses))
+    pred, gt = pred_poses[:n], gt_poses[:n]
+    mean_ate, std_ate = snippet_ate(gt, pred, snippet_len)
+    seg_err = kitti_seg_errors(gt, pred)
+    return {
+        "ate_full": ate_rmse(gt, pred),
+        "snippet_ate_mean": mean_ate,
+        "snippet_ate_std": std_ate,
+        "t_err_pct": seg_err["t_err_pct"],
+        "r_err_deg_per_100m": seg_err["r_err_deg_per_100m"],
+        "n_frames": n,
+    }
+
+
+def make_pose_apply_fn(model, params, attention: str = "none") -> Callable:
+    """Jitted (targets, sources, seg) -> (B, 6) pose closure."""
+
+    @jax.jit
+    def fn(targets, sources, seg=None):
+        out = model.apply(
+            params,
+            targets,
+            sources[:, None],
+            seg=seg if attention == "flow_seg" else None,
+            train=False,
+        )
+        return out["poses"][:, 0]
+
+    return fn

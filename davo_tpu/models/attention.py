@@ -1,0 +1,65 @@
+"""Dynamic region attention — the DAVO paper's core contribution.
+
+Mechanism (SURVEY.md R6 / §3.5 [H]): optical flow between the frame
+pair drives a small network producing one weight per semantic region
+(19 Cityscapes classes); the per-pixel segmentation one-hot turns those
+into a spatial weight map that rescales pose features region-by-region,
+so dynamic-object regions can be down-weighted when estimating
+egomotion.
+
+Design here: `RegionAttention` maps flow -> 19 softmax weights
+(x num_classes so the mean weight is ~1 and the no-attention model is
+a fixed point), then `region_weight_map` projects them through the
+one-hot segmentation at feature resolution. The masked-fuse is an
+elementwise multiply — deliberately shaped so the seg-mask x features
+x weights pipeline can later drop into a single fused Pallas kernel
+(SURVEY.md §7.1 step 6).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.config import ModelConfig
+from davo_tpu.models.common import ConvBlock, dtype_of
+
+
+class RegionAttention(nn.Module):
+    """Flow -> per-region attention weights (B, num_seg_classes)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, flow: jnp.ndarray) -> jnp.ndarray:
+        """flow: (B, H, W, F) flow/cue stack (e.g. fwd+bwd = 4 chans)."""
+        dt = dtype_of(self.cfg.compute_dtype)
+        x = flow.astype(dt)
+        for i, ch in enumerate((16, 32, 64)):
+            x = ConvBlock(ch, 3, 2, dt, name=f"conv{i}")(x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (B, 64)
+        x = nn.relu(nn.Dense(64, name="fc0")(x))
+        logits = nn.Dense(self.cfg.num_seg_classes, name="fc1")(x)
+        # Softmax * K: sums to K, mean 1 -> uniform weights == identity.
+        return jax.nn.softmax(logits, axis=-1) * self.cfg.num_seg_classes
+
+
+def seg_to_onehot(seg: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    """(B, H, W) int labels -> (B, H, W, K) float one-hot."""
+    return jax.nn.one_hot(seg, num_classes, dtype=jnp.float32)
+
+
+def region_weight_map(
+    weights: jnp.ndarray, seg_onehot: jnp.ndarray, hw: tuple[int, int]
+) -> jnp.ndarray:
+    """Per-region weights + segmentation -> spatial weight map.
+
+    weights: (B, K); seg_onehot: (B, H, W, K) at any resolution;
+    returns (B, h, w, 1) resized to the feature resolution `hw`.
+    """
+    B, H, W, K = seg_onehot.shape
+    wmap = jnp.einsum("bhwk,bk->bhw", seg_onehot, weights)[..., None]
+    if (H, W) != hw:
+        wmap = jax.image.resize(wmap, (B, hw[0], hw[1], 1), method="bilinear")
+    return wmap

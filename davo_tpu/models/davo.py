@@ -1,0 +1,101 @@
+"""DavoModel: the full DAVO-equivalent forward pass.
+
+Wires the subnets per the reference pipeline (SURVEY.md §3.5):
+
+    (I_src, I_tgt) -> FlowNetLite -> flow pyramid
+    flow (+seg one-hot) -> RegionAttention -> 19 region weights
+    (I_tgt, I_src, flow) -> PoseNet encoder -> features
+    features x region-weight-map -> pose head -> 6-DoF xi * 0.01
+    I_tgt -> DispNet -> multi-scale disparity           (training only)
+
+`attention` config: "none" (plain PoseNet, BASELINE config #1/#2),
+"flow" (flow cue channels, no region weighting), "flow_seg" (full
+paper model, BASELINE config #3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from davo_tpu.config import ModelConfig
+from davo_tpu.models.attention import (
+    RegionAttention,
+    region_weight_map,
+    seg_to_onehot,
+)
+from davo_tpu.models.dispnet import DispNet
+from davo_tpu.models.flownet import FlowNetLite
+from davo_tpu.models.posenet import PoseNet
+
+
+class DavoModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.posenet = PoseNet(self.cfg)
+        if self.cfg.attention != "none":
+            self.flownet = FlowNetLite(self.cfg)
+        if self.cfg.attention == "flow_seg":
+            self.attn = RegionAttention(self.cfg)
+        self.dispnet = DispNet(self.cfg)
+
+    def __call__(
+        self,
+        target: jnp.ndarray,
+        sources: jnp.ndarray,
+        seg: jnp.ndarray | None = None,
+        train: bool = True,
+    ) -> dict[str, Any]:
+        """target: (B, H, W, 3); sources: (B, S, H, W, 3);
+        seg: (B, H, W) int labels (required for attention="flow_seg").
+
+        Returns dict with:
+          poses:      (B, S, 6) target->source pose vectors
+          disp:       list of (B, H/2^s, W/2^s, 1), train only
+          flows:      per-source flow pyramids (attention != none)
+          attn:       (B, S, K) region weights (attention == "flow_seg")
+        """
+        B, S = sources.shape[0], sources.shape[1]
+        H, W = target.shape[1], target.shape[2]
+        out: dict[str, Any] = {}
+
+        poses, flows, attns = [], [], []
+        seg_oh = (
+            seg_to_onehot(seg, self.cfg.num_seg_classes)
+            if seg is not None
+            else None
+        )
+        for s in range(S):
+            src = sources[:, s]
+            extra = None
+            region_weight_fn = None
+            if self.cfg.attention != "none":
+                pyr = self.flownet(target, src)
+                flows.append(pyr)
+                flow_full = FlowNetLite.full_res_flow(pyr[0], H, W)
+                extra = flow_full
+                if self.cfg.attention == "flow_seg":
+                    weights = self.attn(flow_full)
+                    attns.append(weights)
+                    if seg_oh is not None:
+                        region_weight_fn = (
+                            lambda hw, w=weights: region_weight_map(
+                                w, seg_oh, hw
+                            )
+                        )
+            poses.append(
+                self.posenet(
+                    target, src, extra=extra, region_weight_fn=region_weight_fn
+                )
+            )
+        out["poses"] = jnp.stack(poses, axis=1)
+        if flows:
+            out["flows"] = flows
+        if attns:
+            out["attn"] = jnp.stack(attns, axis=1)
+        if train:
+            out["disp"] = self.dispnet(target)
+        return out

@@ -1,0 +1,80 @@
+"""DispNet: encoder-decoder monocular disparity network.
+
+Reference parity: `disp_net` in `<ref>/nets.py` (SURVEY.md R5 [H]) —
+7-level conv encoder, skip-connected decoder, multi-scale sigmoid
+disparity heads, depth = 1/(DISP_SCALING * sigmoid + MIN_DISP).
+
+TPU-first: NHWC, bf16 compute, nearest-upsample+conv decoder.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.config import ModelConfig
+from davo_tpu.models.common import ConvBlock, dtype_of
+
+
+def _resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-resize NHWC to an exact (H, W) — handles the odd sizes a
+    stride-2 SAME encoder produces at 416-wide inputs (416 = 2^5 * 13)."""
+    B, _, _, C = x.shape
+    return jax.image.resize(x, (B, hw[0], hw[1], C), method="nearest")
+
+DISP_SCALING = 10.0
+MIN_DISP = 0.01
+
+
+def disp_to_depth(disp: jnp.ndarray) -> jnp.ndarray:
+    """Sigmoid disparity in (0,1) -> depth (reference convention)."""
+    return 1.0 / (DISP_SCALING * disp + MIN_DISP)
+
+
+class DispNet(nn.Module):
+    """Multi-scale disparity: returns `num_scales` maps, full-res first.
+
+    Each output is a sigmoid in (0, 1); callers use `disp_to_depth`.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> list[jnp.ndarray]:
+        dt = dtype_of(self.cfg.compute_dtype)
+        x = img.astype(dt)
+
+        # Encoder: stride-2 conv pairs, widths from config.
+        skips = []
+        for i, ch in enumerate(self.cfg.disp_channels):
+            k = 7 if i == 0 else (5 if i == 1 else 3)
+            x = ConvBlock(ch, k, 2, dt, name=f"enc{i}")(x)
+            x = ConvBlock(ch, 3, 1, dt, name=f"enc{i}b")(x)
+            skips.append(x)
+
+        # Decoder with skips; disparity heads on the last num_scales levels.
+        disps = []
+        full_hw = (img.shape[1], img.shape[2])
+        up_channels = list(self.cfg.disp_channels[::-1][1:]) + [16]
+        for i, ch in enumerate(up_channels):
+            skip_idx = len(self.cfg.disp_channels) - 2 - i
+            target_hw = (
+                (skips[skip_idx].shape[1], skips[skip_idx].shape[2])
+                if skip_idx >= 0
+                else full_hw
+            )
+            x = _resize_nearest(x, target_hw)
+            x = ConvBlock(ch, 3, 1, dt, name=f"dec{i}")(x)
+            if skip_idx >= 0:
+                x = jnp.concatenate([x, skips[skip_idx]], axis=-1)
+            x = ConvBlock(ch, 3, 1, dt, name=f"dec{i}b")(x)
+            level = len(up_channels) - 1 - i  # 0 = full res
+            if level < self.cfg.num_scales:
+                disp = nn.Conv(
+                    1, (3, 3), padding="SAME", dtype=dt,
+                    param_dtype=jnp.float32, name=f"disp{level}",
+                )(x)
+                disps.append(nn.sigmoid(disp.astype(jnp.float32)))
+        # Built coarse->fine; return fine->coarse (scale 0 first).
+        return disps[::-1]

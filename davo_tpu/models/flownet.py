@@ -1,0 +1,128 @@
+"""FlowNetLite: PWC-style coarse-to-fine optical flow.
+
+Reference parity: the vendored PWC-Net TF implementation the reference
+uses as its frozen flow cue (SURVEY.md R7 [M]): feature pyramids,
+correlation cost volume, per-level flow estimation with warping.
+Re-designed small ("lite") and trained in-repo — there are no
+importable pretrained weights in a fresh framework (SURVEY.md §7.2).
+
+TPU notes: the cost volume is a static (2d+1)^2 loop of elementwise
+multiply-reduces that XLA fuses; levels are coarse (<= /4) so the
+volume stays small. A Pallas kernel can replace it later
+(`kernels/costvol.py`) — the module boundary is shaped for that swap.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from davo_tpu.config import ModelConfig
+from davo_tpu.core.warp import flow_warp
+from davo_tpu.models.common import ConvBlock, dtype_of
+
+_LEVEL_CHANNELS = (16, 32, 64, 96)
+
+
+def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, search: int) -> jnp.ndarray:
+    """Correlation volume: (B, H, W, (2*search+1)^2).
+
+    entry (dy, dx) = mean_c f1[y, x, c] * f2[y+dy, x+dx, c].
+    """
+    B, H, W, C = f1.shape
+    pad = search
+    f2p = jnp.pad(f2, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    slices = []
+    for dy in range(2 * search + 1):
+        for dx in range(2 * search + 1):
+            shifted = jax.lax.dynamic_slice(
+                f2p, (0, dy, dx, 0), (B, H, W, C)
+            )
+            slices.append(jnp.mean(f1 * shifted, axis=-1))
+    return jnp.stack(slices, axis=-1)
+
+
+class FeaturePyramid(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> list[jnp.ndarray]:
+        dt = dtype_of(self.cfg.compute_dtype)
+        x = img.astype(dt)
+        pyr = []
+        for i, ch in enumerate(_LEVEL_CHANNELS[: self.cfg.flow_levels]):
+            x = ConvBlock(ch, 3, 2, dt, name=f"feat{i}a")(x)
+            x = ConvBlock(ch, 3, 1, dt, name=f"feat{i}b")(x)
+            pyr.append(x)
+        return pyr  # fine (/2) -> coarse
+
+
+class FlowEstimator(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, cv, feat, flow_up):
+        dt = dtype_of(self.cfg.compute_dtype)
+        x = jnp.concatenate([cv.astype(dt), feat, flow_up.astype(dt)], axis=-1)
+        for i, ch in enumerate((96, 64, 32)):
+            x = ConvBlock(ch, 3, 1, dt, name=f"est{i}")(x)
+        delta = nn.Conv(
+            2, (3, 3), padding="SAME", dtype=dt,
+            param_dtype=jnp.float32, name="flow",
+        )(x)
+        return flow_up + delta.astype(jnp.float32)
+
+
+class FlowNetLite(nn.Module):
+    """Returns flow pyramid fine->coarse: [(B, H/4, W/4, 2), ...].
+
+    Flows are in pixels at each level's own resolution. Finest level is
+    /4 (PWC convention); `full_res_flow` upsamples to image resolution.
+    """
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.pyramid = FeaturePyramid(self.cfg)
+        # One estimator per refined level (coarsest .. /4).
+        self.estimators = [
+            FlowEstimator(self.cfg, name=f"estimator{lv}")
+            for lv in range(1, self.cfg.flow_levels)
+        ]
+
+    def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> list[jnp.ndarray]:
+        p1 = self.pyramid(img1)
+        p2 = self.pyramid(img2)
+        search = self.cfg.flow_search_range
+
+        flows: list[jnp.ndarray] = []
+        flow = None
+        # Coarse -> fine, skipping the /2 level (stop at index 1 == /4).
+        for level in range(len(p1) - 1, 0, -1):
+            f1, f2 = p1[level], p2[level]
+            B, H, W, _ = f1.shape
+            if flow is None:
+                flow_up = jnp.zeros((B, H, W, 2), jnp.float32)
+                f2w = f2
+            else:
+                flow_up = 2.0 * jax.image.resize(
+                    flow, (B, H, W, 2), method="bilinear"
+                )
+                f2w, _ = flow_warp(f2, flow_up)
+            cv = nn.relu(
+                cost_volume(
+                    f1.astype(jnp.float32), f2w.astype(jnp.float32), search
+                )
+            )
+            flow = self.estimators[level - 1](cv, f1, flow_up)
+            flows.append(flow)
+        return flows[::-1]  # fine (/4) first
+
+    @staticmethod
+    def full_res_flow(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
+        """Upsample a /k-level flow to full resolution (values rescaled)."""
+        B, h, w, _ = flow.shape
+        scale = width / w
+        out = jax.image.resize(flow, (B, height, width, 2), method="bilinear")
+        return out * scale

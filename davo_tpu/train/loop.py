@@ -1,0 +1,164 @@
+"""Train state, jitted train step, fit loop, Orbax checkpointing.
+
+Replaces the reference's `tf.train.Supervisor` session loop + `Saver`
+(`<ref>/train.py`, SURVEY.md §3.1 / §5). One jitted step function —
+traced once, compiled once — consumes fixed-shape device batches; the
+sharded variant lives in `dist/` (same step fn under a mesh).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from davo_tpu.config import Config
+from davo_tpu.models.davo import DavoModel
+from davo_tpu.train.losses import total_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_state(
+    cfg: Config, rng: jax.Array, sample_batch: dict
+) -> tuple[DavoModel, TrainState, optax.GradientTransformation]:
+    model = DavoModel(cfg.model)
+    params = model.init(
+        rng,
+        jnp.asarray(sample_batch["target"]),
+        jnp.asarray(sample_batch["sources"]),
+        seg=(
+            jnp.asarray(sample_batch["seg"])
+            if cfg.model.attention == "flow_seg" and "seg" in sample_batch
+            else None
+        ),
+    )
+    tx = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1)
+    state = TrainState(
+        params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
+    )
+    return model, state, tx
+
+
+def make_train_step(
+    model: DavoModel, tx: optax.GradientTransformation, cfg: Config
+) -> Callable:
+    """Returns jitted (state, batch) -> (state, metrics)."""
+
+    def loss_fn(params, batch):
+        outputs = model.apply(
+            params,
+            batch["target"],
+            batch["sources"],
+            seg=batch.get("seg") if cfg.model.attention == "flow_seg" else None,
+            train=True,
+        )
+        return total_loss(outputs, batch, cfg.model, cfg.train)
+
+    @partial(jax.jit, donate_argnums=0)
+    def step(state: TrainState, batch: dict):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(params=params, opt_state=opt_state, step=state.step + 1),
+            metrics,
+        )
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (Orbax): params + opt state + step, async-committed.
+# ---------------------------------------------------------------------------
+
+def make_checkpoint_manager(directory: str, max_to_keep: int = 3):
+    import orbax.checkpoint as ocp
+
+    os.makedirs(directory, exist_ok=True)
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, create=True
+        ),
+    )
+
+
+def save_checkpoint(mngr, state: TrainState) -> None:
+    import orbax.checkpoint as ocp
+
+    mngr.save(int(state.step), args=ocp.args.StandardSave(state))
+
+
+def restore_checkpoint(mngr, template: TrainState) -> TrainState | None:
+    import orbax.checkpoint as ocp
+
+    step = mngr.latest_step()
+    if step is None:
+        return None
+    return mngr.restore(step, args=ocp.args.StandardRestore(template))
+
+
+# ---------------------------------------------------------------------------
+# Fit loop
+# ---------------------------------------------------------------------------
+
+def fit(
+    cfg: Config,
+    batches: Iterable[dict],
+    checkpoint_dir: str | None = None,
+    log_fn: Callable[[int, dict], None] | None = None,
+    state: TrainState | None = None,
+    model: DavoModel | None = None,
+) -> tuple[DavoModel, TrainState, list[dict]]:
+    """Train for cfg.train.max_steps over `batches`. Returns history."""
+    it = iter(batches)
+    first = next(it)
+    if model is None or state is None:
+        model, state, tx = create_state(
+            cfg, jax.random.key(cfg.train.seed), first
+        )
+    else:
+        tx = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1)
+    step_fn = make_train_step(model, tx, cfg)
+
+    mngr = make_checkpoint_manager(checkpoint_dir) if checkpoint_dir else None
+    if mngr is not None:
+        restored = restore_checkpoint(mngr, state)
+        if restored is not None:
+            state = restored
+
+    history: list[dict] = []
+    t0 = time.time()
+    batch = first
+    for i in range(cfg.train.max_steps):
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % cfg.train.log_every == 0 or i == cfg.train.max_steps - 1:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_s"] = (i + 1) / (time.time() - t0)
+            history.append(m)
+            if log_fn:
+                log_fn(i + 1, m)
+        if mngr is not None and (i + 1) % cfg.train.checkpoint_every == 0:
+            save_checkpoint(mngr, state)
+        try:
+            batch = next(it)
+        except StopIteration:
+            break
+    if mngr is not None:
+        save_checkpoint(mngr, state)
+        mngr.wait_until_finished()
+    return model, state, history

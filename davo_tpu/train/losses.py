@@ -1,0 +1,168 @@
+"""Loss functions for photometric VO training.
+
+All losses are pure functions of (model outputs, batch) -> scalar,
+fused by XLA inside the jitted train step. Reference semantics
+(`<ref>/davo.py`, SURVEY.md R4 [H]):
+
+* view-synthesis: for each scale s and each source frame, warp the
+  source into the target view through DispNet depth + PoseNet pose;
+  mix L1 and SSIM; average over valid pixels (validity masking replaces
+  the reference family's black-border artifacts, SURVEY.md §7.2).
+* smoothness: edge-aware disparity gradient penalty, weight decayed
+  by scale (reference: smooth_weight / 2^s).
+* optional pose supervision (GT-relative-pose L2) — the supervised
+  pretraining tier of SURVEY.md §7.2.
+* flow losses: photometric warp loss per pyramid level for
+  FlowNetLite (+ optional supervised EPE on synthetic data).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from davo_tpu.config import ModelConfig, TrainConfig
+from davo_tpu.core import geometry as geo
+from davo_tpu.core.pyramid import image_pyramid
+from davo_tpu.core.ssim import ssim
+from davo_tpu.core.warp import flow_warp, projective_inverse_warp
+from davo_tpu.models.dispnet import disp_to_depth
+from davo_tpu.models.flownet import FlowNetLite
+
+_EPS = 1e-6
+
+
+def photometric_loss(
+    disps: list[jnp.ndarray],
+    poses: jnp.ndarray,
+    target: jnp.ndarray,
+    sources: jnp.ndarray,
+    K: jnp.ndarray,
+    ssim_weight: float,
+) -> jnp.ndarray:
+    """Multi-scale view-synthesis loss.
+
+    disps: num_scales x (B, H/2^s, W/2^s, 1) sigmoid disparities
+    poses: (B, S, 6); target: (B, H, W, 3); sources: (B, S, H, W, 3);
+    K: (B, 3, 3) full-res intrinsics.
+    """
+    num_scales = len(disps)
+    tgt_pyr = image_pyramid(target, num_scales)
+    src_pyrs = [
+        image_pyramid(sources[:, s], num_scales)
+        for s in range(sources.shape[1])
+    ]
+    Ks = geo.intrinsics_pyramid(K, num_scales)
+
+    total = 0.0
+    for s_idx in range(num_scales):
+        depth = disp_to_depth(disps[s_idx][..., 0])  # (B, h, w)
+        for src_i, src_pyr in enumerate(src_pyrs):
+            warped, valid = projective_inverse_warp(
+                src_pyr[s_idx], depth, poses[:, src_i], Ks[s_idx]
+            )
+            tgt = tgt_pyr[s_idx]
+            l1 = jnp.abs(warped - tgt)
+            # SSIM output is VALID-cropped by 1px; crop l1+valid to match.
+            sm = ssim(warped, tgt)
+            l1c = l1[:, 1:-1, 1:-1]
+            vc = valid[:, 1:-1, 1:-1]
+            mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1c
+            total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
+    return total / (num_scales * len(src_pyrs))
+
+
+def smoothness_loss(disps: list[jnp.ndarray], target: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware disparity smoothness, scale-decayed (ref: w / 2^s)."""
+    tgt_pyr = image_pyramid(target, len(disps))
+    total = 0.0
+    for s, disp in enumerate(disps):
+        # Normalize by mean disparity (scale-invariance trick).
+        d = disp[..., 0]
+        d = d / (jnp.mean(d, axis=(1, 2), keepdims=True) + _EPS)
+        img = tgt_pyr[s]
+        dx = jnp.abs(d[:, :, 1:] - d[:, :, :-1])
+        dy = jnp.abs(d[:, 1:, :] - d[:, :-1, :])
+        ix = jnp.mean(jnp.abs(img[:, :, 1:] - img[:, :, :-1]), axis=-1)
+        iy = jnp.mean(jnp.abs(img[:, 1:, :] - img[:, :-1, :]), axis=-1)
+        total = total + (
+            (dx * jnp.exp(-ix)).mean() + (dy * jnp.exp(-iy)).mean()
+        ) / (2.0**s)
+    return total / len(disps)
+
+
+def pose_supervision_loss(poses: jnp.ndarray, gt_pose: jnp.ndarray) -> jnp.ndarray:
+    """L2 between predicted pose vectors and GT warp transforms.
+
+    poses: (B, S, 6) predicted [t, r_euler]; gt_pose: (B, S, 4, 4).
+    Rotation error weighted up (radians are small vs meters).
+    """
+    gt_vec = geo.mat_to_pose_vec(gt_pose)
+    t_err = jnp.sum((poses[..., :3] - gt_vec[..., :3]) ** 2, axis=-1)
+    r_err = jnp.sum((poses[..., 3:] - gt_vec[..., 3:]) ** 2, axis=-1)
+    return jnp.mean(t_err + 10.0 * r_err)
+
+
+def flow_losses(
+    flow_pyrs: list[list[jnp.ndarray]],
+    target: jnp.ndarray,
+    sources: jnp.ndarray,
+    ssim_weight: float,
+) -> jnp.ndarray:
+    """Unsupervised photometric loss for the flow net, per level.
+
+    flow_pyrs[s] is the fine->coarse pyramid for source s; flow maps
+    target pixels to source pixels, so warping the source by the flow
+    must reconstruct the target.
+    """
+    H, W = target.shape[1], target.shape[2]
+    total = 0.0
+    count = 0
+    for s_i, pyr in enumerate(flow_pyrs):
+        src = sources[:, s_i]
+        for flow in pyr:
+            h, w = flow.shape[1], flow.shape[2]
+            scale = W / w
+            flow_full = FlowNetLite.full_res_flow(flow, H, W)
+            warped, valid = flow_warp(src, flow_full)
+            l1 = jnp.abs(warped - target)[:, 1:-1, 1:-1]
+            sm = ssim(warped, target)
+            vc = valid[:, 1:-1, 1:-1]
+            mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1
+            total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
+            count += 1
+            del scale, h, w
+    return total / max(count, 1)
+
+
+def total_loss(
+    outputs: dict,
+    batch: dict,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+) -> tuple[jnp.ndarray, dict]:
+    """Combine all loss terms; returns (scalar, metrics dict)."""
+    target = batch["target"]
+    sources = batch["sources"]
+    K = batch["K"]
+    metrics: dict = {}
+
+    photo = photometric_loss(
+        outputs["disp"], outputs["poses"], target, sources, K, tcfg.ssim_weight
+    )
+    smooth = smoothness_loss(outputs["disp"], target)
+    loss = photo + tcfg.smooth_weight * smooth
+    metrics["photo"] = photo
+    metrics["smooth"] = smooth
+
+    if "flows" in outputs:
+        fl = flow_losses(outputs["flows"], target, sources, tcfg.ssim_weight)
+        loss = loss + fl
+        metrics["flow"] = fl
+
+    if tcfg.pose_supervision_weight > 0.0 and "gt_pose" in batch:
+        sup = pose_supervision_loss(outputs["poses"], batch["gt_pose"])
+        loss = loss + tcfg.pose_supervision_weight * sup
+        metrics["pose_sup"] = sup
+
+    metrics["total"] = loss
+    return loss, metrics

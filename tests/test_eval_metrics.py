@@ -1,0 +1,104 @@
+"""Metric tests (SURVEY.md §4.2): GT-vs-GT == 0, synthetic corruptions
+give analytically known errors."""
+
+import numpy as np
+import pytest
+
+from davo_tpu.eval.metrics import (
+    ate_rmse,
+    kitti_seg_errors,
+    snippet_ate,
+    trajectory_distances,
+)
+
+
+def straight_line_traj(n, step=1.0):
+    """Drive straight along +z at `step` m/frame."""
+    poses = np.tile(np.eye(4), (n, 1, 1))
+    poses[:, 2, 3] = np.arange(n) * step
+    return poses
+
+
+class TestTrajectoryDistances:
+    def test_straight_line(self):
+        d = trajectory_distances(straight_line_traj(5, 2.0))
+        np.testing.assert_allclose(d, [0, 2, 4, 6, 8])
+
+
+class TestKittiSegErrors:
+    def test_gt_vs_gt_is_zero(self):
+        gt = straight_line_traj(1200, 1.0)  # 1.2 km: all lengths present
+        out = kitti_seg_errors(gt, gt)
+        assert out["t_err_pct"] == pytest.approx(0.0, abs=1e-9)
+        assert out["r_err_deg_per_100m"] == pytest.approx(0.0, abs=1e-9)
+        assert len(out["segments"]) > 0
+
+    def test_known_scale_drift(self):
+        """Pred travels 1% further per meter -> t_err == 1%."""
+        gt = straight_line_traj(1200, 1.0)
+        pred = straight_line_traj(1200, 1.01)
+        out = kitti_seg_errors(gt, pred)
+        assert out["t_err_pct"] == pytest.approx(1.0, rel=1e-6)
+        assert out["r_err_deg_per_100m"] == pytest.approx(0.0, abs=1e-9)
+
+    def test_known_rotation_drift(self):
+        """Constant yaw drift of r rad/frame at 1 m/frame ->
+        r_err = r rad/m exactly (relative rotation over L m = r*L)."""
+        n, r = 1200, 1e-4
+        gt = straight_line_traj(n, 1.0)
+        pred = np.tile(np.eye(4), (n, 1, 1))
+        pos = np.zeros(3)
+        yaw = 0.0
+        for i in range(n):
+            pred[i, :3, :3] = np.array(
+                [
+                    [np.cos(yaw), 0, np.sin(yaw)],
+                    [0, 1, 0],
+                    [-np.sin(yaw), 0, np.cos(yaw)],
+                ]
+            )
+            pred[i, :3, 3] = pos
+            dirv = pred[i, :3, :3] @ np.array([0, 0, 1.0])
+            pos = pos + dirv
+            yaw += r
+        out = kitti_seg_errors(gt, pred)
+        assert out["r_err_deg_per_100m"] == pytest.approx(
+            np.degrees(r) * 100.0, rel=1e-3
+        )
+
+    def test_short_sequence_nan(self):
+        gt = straight_line_traj(50, 1.0)  # < 100 m of path
+        out = kitti_seg_errors(gt, gt)
+        assert np.isnan(out["t_err_pct"])
+
+
+class TestATE:
+    def test_identical_zero(self):
+        gt = straight_line_traj(100, 1.0)
+        assert ate_rmse(gt, gt) == pytest.approx(0.0, abs=1e-12)
+
+    def test_scale_aligned(self):
+        """Monocular scale ambiguity: 2x-scaled pred has ~0 ATE."""
+        gt = straight_line_traj(100, 1.0)
+        pred = straight_line_traj(100, 2.0)
+        assert ate_rmse(gt, pred) == pytest.approx(0.0, abs=1e-9)
+        assert ate_rmse(gt, pred, align_scale=False) > 10.0
+
+    def test_known_offset_error(self):
+        """Uniform +1m x-noise on half the frames: computable RMSE."""
+        gt = straight_line_traj(10, 1.0)
+        pred = gt.copy()
+        pred[5:, 0, 3] += 1.0
+        # After mean-centering, err in x: 5 frames at -0.5, 5 at +0.5
+        # (scale fit on z is unaffected by x offsets... approximately).
+        val = ate_rmse(gt, pred, align_scale=False)
+        assert val == pytest.approx(0.5, rel=1e-6)
+
+    def test_snippet_ate(self):
+        gt = straight_line_traj(20, 1.0)
+        mean, std = snippet_ate(gt, gt)
+        assert mean == pytest.approx(0.0, abs=1e-9)
+        pred = straight_line_traj(20, 1.0)
+        pred[:, 0, 3] += np.sin(np.arange(20))  # wobble
+        mean2, _ = snippet_ate(gt, pred)
+        assert mean2 > 0.01

@@ -1,0 +1,205 @@
+"""Model zoo tests: shapes, dtype policy, attention semantics, grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.config import ModelConfig
+from davo_tpu.models import DavoModel, DispNet, FlowNetLite, PoseNet
+from davo_tpu.models.attention import (
+    RegionAttention,
+    region_weight_map,
+    seg_to_onehot,
+)
+from davo_tpu.models.dispnet import disp_to_depth
+from davo_tpu.models.flownet import cost_volume
+
+CFG = ModelConfig(
+    img_height=64,
+    img_width=96,
+    pose_channels=(8, 12, 16, 16),
+    disp_channels=(8, 12, 16, 16),
+    flow_levels=3,
+    flow_search_range=2,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(0)
+    return {
+        "target": jnp.asarray(rng.uniform(size=(2, 64, 96, 3)), jnp.float32),
+        "sources": jnp.asarray(rng.uniform(size=(2, 2, 64, 96, 3)), jnp.float32),
+        "seg": jnp.asarray(rng.integers(0, 19, size=(2, 64, 96)), jnp.int32),
+    }
+
+
+class TestPoseNet:
+    def test_output_shape_and_scale(self, batch):
+        net = PoseNet(CFG)
+        params = net.init(jax.random.key(0), batch["target"], batch["sources"][:, 0])
+        pose = net.apply(params, batch["target"], batch["sources"][:, 0])
+        assert pose.shape == (2, 6)
+        assert pose.dtype == jnp.float32
+        # pose_scale keeps initial outputs small (reference x0.01).
+        assert float(jnp.abs(pose).max()) < 0.5
+
+    def test_grads_flow(self, batch):
+        net = PoseNet(CFG)
+        params = net.init(jax.random.key(0), batch["target"], batch["sources"][:, 0])
+
+        def loss(p):
+            return jnp.sum(net.apply(p, batch["target"], batch["sources"][:, 0]) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestDispNet:
+    def test_multiscale_shapes(self, batch):
+        net = DispNet(CFG)
+        params = net.init(jax.random.key(0), batch["target"])
+        disps = net.apply(params, batch["target"])
+        assert len(disps) == CFG.num_scales
+        assert disps[0].shape == (2, 64, 96, 1)
+        assert disps[1].shape == (2, 32, 48, 1)
+        assert disps[3].shape == (2, 8, 12, 1)
+        for d in disps:
+            assert d.dtype == jnp.float32
+            assert float(d.min()) > 0.0 and float(d.max()) < 1.0
+
+    def test_odd_width(self):
+        """416-style width (not divisible by 2^levels) must round-trip."""
+        cfg = ModelConfig(
+            disp_channels=(8, 12, 16, 16, 16), compute_dtype="float32"
+        )
+        x = jnp.zeros((1, 128, 416, 3))
+        net = DispNet(cfg)
+        params = net.init(jax.random.key(0), x)
+        disps = net.apply(params, x)
+        assert disps[0].shape == (1, 128, 416, 1)
+
+    def test_disp_to_depth_range(self):
+        assert float(disp_to_depth(jnp.array(1.0))) == pytest.approx(1 / 10.01)
+        assert float(disp_to_depth(jnp.array(0.0))) == pytest.approx(100.0)
+
+
+class TestFlowNet:
+    def test_cost_volume_identity_peak(self):
+        """cv of identical features peaks at zero displacement."""
+        rng = np.random.default_rng(1)
+        f = jnp.asarray(rng.normal(size=(1, 8, 8, 32)), jnp.float32)
+        cv = cost_volume(f, f, search=2)
+        assert cv.shape == (1, 8, 8, 25)
+        center = 2 * 5 + 2
+        interior = np.asarray(cv)[0, 2:-2, 2:-2]
+        assert np.all(interior.argmax(axis=-1) == center)
+
+    def test_cost_volume_known_shift(self):
+        rng = np.random.default_rng(2)
+        f1 = jnp.asarray(rng.normal(size=(1, 10, 10, 32)), jnp.float32)
+        # f2 shifted by dx=+1: f2[y, x+1] == f1[y, x] -> peak at (0, +1)
+        f2 = jnp.pad(f1, ((0, 0), (0, 0), (1, 0), (0, 0)))[:, :, :10]
+        cv = cost_volume(f1, f2, search=2)
+        interior = np.asarray(cv)[0, 2:-2, 2:-2]
+        assert np.all(interior.argmax(axis=-1) == 2 * 5 + 3)  # dy=0, dx=+1
+
+    def test_pyramid_shapes(self, batch):
+        net = FlowNetLite(CFG)
+        params = net.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        flows = net.apply(params, batch["target"], batch["sources"][:, 0])
+        assert len(flows) == CFG.flow_levels - 1
+        assert flows[0].shape == (2, 16, 24, 2)  # /4 finest
+        assert flows[-1].shape == (2, 8, 12, 2)  # /8 coarsest
+        full = FlowNetLite.full_res_flow(flows[0], 64, 96)
+        assert full.shape == (2, 64, 96, 2)
+
+
+class TestAttention:
+    def test_weights_normalized(self, batch):
+        net = RegionAttention(CFG)
+        flow = jnp.zeros((2, 64, 96, 2))
+        params = net.init(jax.random.key(0), flow)
+        w = net.apply(params, flow)
+        assert w.shape == (2, 19)
+        np.testing.assert_allclose(np.asarray(w.sum(-1)), 19.0, rtol=1e-5)
+        assert float(w.min()) >= 0.0
+
+    def test_uniform_weights_are_identity(self, batch):
+        """weights == 1 everywhere -> weight map == 1 -> no-op fusion."""
+        seg_oh = seg_to_onehot(batch["seg"], 19)
+        wmap = region_weight_map(jnp.ones((2, 19)), seg_oh, (4, 6))
+        np.testing.assert_allclose(np.asarray(wmap), 1.0, atol=1e-5)
+
+    def test_region_selectivity(self):
+        """Down-weighting class k zeroes exactly class-k pixels."""
+        seg = jnp.zeros((1, 8, 8), jnp.int32).at[0, :4].set(3)
+        seg_oh = seg_to_onehot(seg, 19)
+        weights = jnp.ones((1, 19)).at[0, 3].set(0.0)
+        wmap = region_weight_map(weights, seg_oh, (8, 8))
+        assert float(wmap[0, :4].max()) == 0.0
+        assert float(wmap[0, 4:].min()) == 1.0
+
+
+class TestDavoModel:
+    @pytest.mark.parametrize("attention", ["none", "flow", "flow_seg"])
+    def test_variants(self, batch, attention):
+        cfg = ModelConfig(
+            img_height=64,
+            img_width=96,
+            pose_channels=(8, 12, 16, 16),
+            disp_channels=(8, 12, 16, 16),
+            flow_levels=3,
+            flow_search_range=2,
+            attention=attention,
+            compute_dtype="float32",
+        )
+        model = DavoModel(cfg)
+        seg = batch["seg"] if attention == "flow_seg" else None
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"], seg=seg
+        )
+        out = model.apply(params, batch["target"], batch["sources"], seg=seg)
+        assert out["poses"].shape == (2, 2, 6)
+        assert len(out["disp"]) == 4
+        if attention != "none":
+            assert len(out["flows"]) == 2
+        if attention == "flow_seg":
+            assert out["attn"].shape == (2, 2, 19)
+
+    def test_inference_mode_skips_disp(self, batch):
+        model = DavoModel(CFG._replace_attention("none") if hasattr(CFG, "_replace_attention") else ModelConfig(
+            img_height=64, img_width=96,
+            pose_channels=(8, 12, 16, 16), disp_channels=(8, 12, 16, 16),
+            flow_levels=3, flow_search_range=2, attention="none",
+            compute_dtype="float32",
+        ))
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"], train=True
+        )
+        out = model.apply(
+            params, batch["target"], batch["sources"], train=False
+        )
+        assert "disp" not in out
+
+    def test_bf16_compute_f32_output(self, batch):
+        cfg = ModelConfig(
+            img_height=64, img_width=96,
+            pose_channels=(8, 12, 16, 16), disp_channels=(8, 12, 16, 16),
+            flow_levels=3, flow_search_range=2, attention="none",
+            compute_dtype="bfloat16",
+        )
+        model = DavoModel(cfg)
+        params = model.init(jax.random.key(0), batch["target"], batch["sources"])
+        # Params stored f32.
+        for leaf in jax.tree_util.tree_leaves(params):
+            assert leaf.dtype == jnp.float32
+        out = model.apply(params, batch["target"], batch["sources"])
+        assert out["poses"].dtype == jnp.float32
+        assert out["disp"][0].dtype == jnp.float32
