@@ -42,7 +42,9 @@ def main() -> None:
     targets = jnp.asarray(rng.uniform(size=(BATCH, H, W, 3)), jnp.float32)
     sources = jnp.asarray(rng.uniform(size=(BATCH, 1, H, W, 3)), jnp.float32)
     seg = jnp.asarray(rng.integers(0, 19, (BATCH, H, W)), jnp.int32)
-    params = model.init(jax.random.key(0), targets, sources, seg=seg)
+    # jit(init): on the tunneled TPU backend eager dispatch is a remote
+    # round-trip per primitive — init MUST be a single compiled program.
+    params = jax.jit(model.init)(jax.random.key(0), targets, sources, seg=seg)
 
     @jax.jit
     def infer(targets, sources, seg):

@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
-@dataclass
+@dataclass(frozen=True)
 class ModelConfig:
     img_height: int = 128
     img_width: int = 416
@@ -31,7 +31,7 @@ class ModelConfig:
     use_pallas: bool = True      # fused Pallas kernels where beneficial
 
 
-@dataclass
+@dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 4
     learning_rate: float = 2e-4
@@ -45,14 +45,14 @@ class TrainConfig:
     seed: int = 0
 
 
-@dataclass
+@dataclass(frozen=True)
 class MeshConfig:
     data: int = 1     # data-parallel axis size
     model: int = 1    # tensor-parallel axis size
     window: int = 1   # BA keyframe-block axis size
 
 
-@dataclass
+@dataclass(frozen=True)
 class BAConfig:
     window_size: int = 8         # keyframes per sliding window
     max_iterations: int = 10     # Gauss-Newton outer iterations
@@ -60,9 +60,10 @@ class BAConfig:
     pcg_iterations: int = 32
     pcg_tol: float = 1e-6
     huber_delta: float = 1.0     # robust loss on reprojection residuals
+    outlier_px: float = 16.0     # truncate (zero-weight) residuals beyond
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)

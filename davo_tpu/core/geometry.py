@@ -194,7 +194,14 @@ def so3_log(rot: jnp.ndarray) -> jnp.ndarray:
     # stays well-conditioned near theta=0 where arccos(trace) loses
     # ~half the float32 digits (the sin term dominates there).
     vee = so3_vee(rot - jnp.swapaxes(rot, -1, -2))
-    sin_theta = 0.5 * jnp.linalg.norm(vee, axis=-1)
+    # Grad-safe norm: d|v|/dv is NaN at v=0 (identity rotation — hit by
+    # pose-graph edges with exactly-consistent measurements); the
+    # double-where keeps both value and tangent finite there.
+    nsq = jnp.sum(vee * vee, axis=-1)
+    tiny = nsq < 1e-24
+    sin_theta = jnp.where(
+        tiny, 0.0, 0.5 * jnp.sqrt(jnp.where(tiny, 1.0, nsq))
+    )
     theta = jnp.arctan2(sin_theta, cos_theta)
     scale = jnp.where(
         theta[..., None] < 1e-4,
