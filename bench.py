@@ -14,9 +14,15 @@ number is obtainable).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent compile cache: the full-model XLA compile is ~145 s on the
+# tunneled TPU; cache it across bench invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 # Reference DAVO (TF1, single 2020-era GPU) streaming pose inference.
 # Placeholder until the reference can be run (BASELINE.md): PWC-flow +
@@ -44,7 +50,10 @@ def main() -> None:
     seg = jnp.asarray(rng.integers(0, 19, (BATCH, H, W)), jnp.int32)
     # jit(init): on the tunneled TPU backend eager dispatch is a remote
     # round-trip per primitive — init MUST be a single compiled program.
-    params = jax.jit(model.init)(jax.random.key(0), targets, sources, seg=seg)
+    # train=False: inference bench needs no DispNet params/compile.
+    params = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.key(0), targets, sources, seg=seg, train=False
+    )
 
     @jax.jit
     def infer(targets, sources, seg):
