@@ -24,7 +24,12 @@ def trajectory_distances(poses: np.ndarray) -> np.ndarray:
 
 
 def _rotation_angle(R: np.ndarray) -> float:
-    return float(np.arccos(np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)))
+    """atan2 form: well-conditioned near 0 where acos(trace) loses
+    ~half the float digits (matters for near-perfect trajectories)."""
+    cos_t = np.clip((np.trace(R) - 1.0) * 0.5, -1.0, 1.0)
+    vee = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    sin_t = 0.5 * np.linalg.norm(vee)
+    return float(np.arctan2(sin_t, cos_t))
 
 
 def kitti_seg_errors(
