@@ -29,7 +29,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 # attention + pose at 128x416 on a GTX-1080-class GPU ~ O(15) fps.
 BASELINE_FPS = 15.0
 
-BATCH = 16
+BATCH = 128
 WARMUP = 2
 ITERS = 8
 

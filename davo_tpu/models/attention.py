@@ -56,10 +56,20 @@ def region_weight_map(
     """Per-region weights + segmentation -> spatial weight map.
 
     weights: (B, K); seg_onehot: (B, H, W, K) at any resolution;
-    returns (B, h, w, 1) resized to the feature resolution `hw`.
+    returns (B, h, w, 1) at the feature resolution `hw`. When hw
+    divides (H, W) exactly the one-hot is average-pooled first (soft
+    per-cell class fractions — gather-free, and semantically the
+    receptive-field class mix); otherwise falls back to resize.
     """
     B, H, W, K = seg_onehot.shape
+    h, w = hw
+    if (H, W) != (h, w) and H % h == 0 and W % w == 0:
+        win = (1, H // h, W // w, 1)
+        pooled = jax.lax.reduce_window(
+            seg_onehot, 0.0, jax.lax.add, win, win, "VALID"
+        ) / float(win[1] * win[2])
+        return jnp.einsum("bhwk,bk->bhw", pooled, weights)[..., None]
     wmap = jnp.einsum("bhwk,bk->bhw", seg_onehot, weights)[..., None]
-    if (H, W) != hw:
-        wmap = jax.image.resize(wmap, (B, hw[0], hw[1], 1), method="bilinear")
+    if (H, W) != (h, w):
+        wmap = jax.image.resize(wmap, (B, h, w, 1), method="bilinear")
     return wmap

@@ -62,40 +62,40 @@ class DavoModel(nn.Module):
         H, W = target.shape[1], target.shape[2]
         out: dict[str, Any] = {}
 
-        poses, flows, attns = [], [], []
-        seg_oh = (
-            seg_to_onehot(seg, self.cfg.num_seg_classes)
-            if seg is not None
-            else None
-        )
-        for s in range(S):
-            src = sources[:, s]
-            extra = None
-            region_weight_fn = None
-            if self.cfg.attention != "none":
-                pyr = self.flownet(target, src)
-                flows.append(pyr)
-                flow_full = FlowNetLite.full_res_flow(pyr[0], H, W)
-                extra = flow_full
-                if self.cfg.attention == "flow_seg":
-                    weights = self.attn(flow_full)
-                    attns.append(weights)
-                    if seg_oh is not None:
-                        region_weight_fn = (
-                            lambda hw, w=weights: region_weight_map(
-                                w, seg_oh, hw
-                            )
-                        )
-            poses.append(
-                self.posenet(
-                    target, src, extra=extra, region_weight_fn=region_weight_fn
+        # Batch-fold the source axis: every subnet runs ONCE on a
+        # (S*B)-batch instead of S times — on this stack per-kernel
+        # launch overhead dominates small convs, so halving the kernel
+        # count halves the step time (measured; see kernels/__init__).
+        # Layout: source s occupies rows [s*B, (s+1)*B).
+        flat_src = jnp.moveaxis(sources, 1, 0).reshape(S * B, H, W, 3)
+        rep_tgt = jnp.tile(target, (S, 1, 1, 1))
+
+        extra = None
+        region_weight_fn = None
+        if self.cfg.attention != "none":
+            pyr = self.flownet(rep_tgt, flat_src)  # levels of (S*B, h, w, 2)
+            out["flows"] = [
+                [level[s * B : (s + 1) * B] for level in pyr]
+                for s in range(S)
+            ]
+            flow_full = FlowNetLite.full_res_flow(pyr[0], H, W)
+            extra = flow_full
+            if self.cfg.attention == "flow_seg":
+                weights = self.attn(flow_full)  # (S*B, K)
+                out["attn"] = jnp.moveaxis(
+                    weights.reshape(S, B, -1), 0, 1
                 )
-            )
-        out["poses"] = jnp.stack(poses, axis=1)
-        if flows:
-            out["flows"] = flows
-        if attns:
-            out["attn"] = jnp.stack(attns, axis=1)
+                if seg is not None:
+                    seg_oh = seg_to_onehot(
+                        jnp.tile(seg, (S, 1, 1)), self.cfg.num_seg_classes
+                    )
+                    region_weight_fn = (
+                        lambda hw, w=weights: region_weight_map(w, seg_oh, hw)
+                    )
+        pose_flat = self.posenet(
+            rep_tgt, flat_src, extra=extra, region_weight_fn=region_weight_fn
+        )  # (S*B, 6)
+        out["poses"] = jnp.moveaxis(pose_flat.reshape(S, B, 6), 0, 1)
         if train:
             out["disp"] = self.dispnet(target)
         return out

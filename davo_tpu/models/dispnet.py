@@ -18,10 +18,19 @@ from davo_tpu.models.common import ConvBlock, dtype_of
 
 
 def _resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
-    """Nearest-resize NHWC to an exact (H, W) — handles the odd sizes a
-    stride-2 SAME encoder produces at 416-wide inputs (416 = 2^5 * 13)."""
-    B, _, _, C = x.shape
-    return jax.image.resize(x, (B, hw[0], hw[1], C), method="nearest")
+    """Nearest 2x upsample + crop to an exact (H, W).
+
+    Gather-free (broadcast-reshape + slice; `jax.image.resize` lowers
+    to a slow TPU gather). Handles the odd sizes a stride-2 SAME
+    encoder produces at 416-wide inputs: every decoder target is
+    ceil(2x_source/2), so 2x-then-crop reaches it exactly.
+    """
+    B, H, W, C = x.shape
+    h, w = hw
+    assert h <= 2 * H and w <= 2 * W, (x.shape, hw)
+    up = x[:, :, None, :, None, :]
+    up = jnp.broadcast_to(up, (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
+    return up[:, :h, :w]
 
 DISP_SCALING = 10.0
 MIN_DISP = 0.01

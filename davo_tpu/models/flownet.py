@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig
 from davo_tpu.core.warp import flow_warp
+from davo_tpu.kernels.resize import resize_bilinear_aligned
 from davo_tpu.models.common import ConvBlock, dtype_of
 
 _LEVEL_CHANNELS = (16, 32, 64, 96)
@@ -92,8 +93,12 @@ class FlowNetLite(nn.Module):
         ]
 
     def __call__(self, img1: jnp.ndarray, img2: jnp.ndarray) -> list[jnp.ndarray]:
-        p1 = self.pyramid(img1)
-        p2 = self.pyramid(img2)
+        # One batched pyramid pass for both images: halves the dispatch
+        # count and doubles the effective batch for the small convs.
+        B = img1.shape[0]
+        pboth = self.pyramid(jnp.concatenate([img1, img2], axis=0))
+        p1 = [p[:B] for p in pboth]
+        p2 = [p[B:] for p in pboth]
         search = self.cfg.flow_search_range
 
         flows: list[jnp.ndarray] = []
@@ -106,9 +111,7 @@ class FlowNetLite(nn.Module):
                 flow_up = jnp.zeros((B, H, W, 2), jnp.float32)
                 f2w = f2
             else:
-                flow_up = 2.0 * jax.image.resize(
-                    flow, (B, H, W, 2), method="bilinear"
-                )
+                flow_up = 2.0 * resize_bilinear_aligned(flow, H, W)
                 f2w, _ = flow_warp(f2, flow_up)
             cv = nn.relu(
                 cost_volume(
@@ -122,7 +125,6 @@ class FlowNetLite(nn.Module):
     @staticmethod
     def full_res_flow(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
         """Upsample a /k-level flow to full resolution (values rescaled)."""
-        B, h, w, _ = flow.shape
+        _, _, w, _ = flow.shape
         scale = width / w
-        out = jax.image.resize(flow, (B, height, width, 2), method="bilinear")
-        return out * scale
+        return resize_bilinear_aligned(flow, height, width) * scale
