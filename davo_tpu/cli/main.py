@@ -1,0 +1,263 @@
+"""davo-tpu CLI: train | infer | eval | bench.
+
+Replaces the reference's per-entry flag scripts (`<ref>/train.py`,
+`<ref>/test_kitti_pose.py`, SURVEY.md R1/R2) with one typed-config
+CLI. `--version` selects a preset (models/presets.py); dotted
+`--set key=value` overrides reach any config field.
+
+Examples:
+  python -m davo_tpu.cli train --version tiny --data synthetic \
+      --steps 500 --checkpoint-dir /tmp/ckpt
+  python -m davo_tpu.cli infer --version davo --data /kitti --seq 09 \
+      --ckpt /tmp/ckpt --out results/09.txt
+  python -m davo_tpu.cli eval --gt /kitti/poses/09.txt --pred results/09.txt
+  python -m davo_tpu.cli bench --version davo
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def _apply_sets(cfg, sets: list[str]):
+    from davo_tpu.config import apply_overrides
+
+    overrides = {}
+    for item in sets or []:
+        key, _, value = item.partition("=")
+        overrides[key] = value
+    # frozen dataclasses: rebuild via nested replace
+    for path, value in overrides.items():
+        parts = path.split(".")
+        node_path = []
+        node = cfg
+        for p in parts[:-1]:
+            node_path.append((node, p))
+            node = getattr(node, p)
+        leaf = parts[-1]
+        current = getattr(node, leaf)
+        if current is not None and not isinstance(current, str):
+            value = type(current)(value) if not isinstance(current, bool) else value in ("1", "true", "True")
+        node = dataclasses.replace(node, **{leaf: value})
+        for parent, name in reversed(node_path):
+            node = dataclasses.replace(parent, **{name: node})
+        cfg = node
+    return cfg
+
+
+def _load_sequence(data: str, seq: str, cfg, with_seg: bool):
+    """Returns (frames (N,H,W,3) float32, seg or None, gt or None, K)."""
+    import numpy as np
+
+    H, W = cfg.model.img_height, cfg.model.img_width
+    if data == "synthetic":
+        from davo_tpu.data.synthetic import SyntheticSequence
+
+        s = SyntheticSequence(n_frames=32, height=H, width=W, seed=int(seq or 0))
+        frames = np.stack([s.frame(i) for i in range(len(s))])
+        seg = np.stack([s.seg(i) for i in range(len(s))]) if with_seg else None
+        return frames, seg, s.poses, s.K
+    from davo_tpu.data.kitti import KittiOdometry
+
+    ko = KittiOdometry(data, seq)
+    native = __import__("cv2").imread(ko.frame_path(0)).shape[:2]
+    frames = np.stack(
+        [ko.load_frame(i, H, W) for i in range(len(ko))]
+    )
+    K = ko.scaled_intrinsics(H, W, native)
+    return frames, None, ko.gt_poses, K
+
+
+def cmd_train(args) -> int:
+    import jax
+
+    from davo_tpu.data.snippets import SnippetDataset
+    from davo_tpu.data.synthetic import SyntheticSequence
+    from davo_tpu.models import presets
+    from davo_tpu.train.loop import fit
+    from davo_tpu.utils.metrics import MetricsLogger
+
+    cfg = presets.get(args.version)
+    cfg = _apply_sets(cfg, args.set)
+    if args.steps:
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, max_steps=args.steps)
+        )
+
+    if args.data == "synthetic":
+        seq = SyntheticSequence(
+            n_frames=32,
+            height=cfg.model.img_height,
+            width=cfg.model.img_width,
+            seed=cfg.train.seed,
+        )
+        ds = SnippetDataset(
+            seq,
+            batch_size=cfg.train.batch_size,
+            with_seg=cfg.model.attention == "flow_seg",
+            with_gt=cfg.train.pose_supervision_weight > 0,
+            augment=True,
+            seed=cfg.train.seed,
+        )
+    else:
+        from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry
+        from davo_tpu.data.snippets import KittiAdapter
+
+        ko = KittiOdometry(args.data, args.seq or TRAIN_SEQS[0])
+        native = __import__("cv2").imread(ko.frame_path(0)).shape[:2]
+        ad = KittiAdapter(
+            ko, cfg.model.img_height, cfg.model.img_width, native
+        )
+        ds = SnippetDataset(
+            ad, batch_size=cfg.train.batch_size, augment=True,
+            with_gt=cfg.train.pose_supervision_weight > 0,
+        )
+
+    logger = (
+        MetricsLogger(args.log_dir) if args.log_dir else None
+    )
+
+    def log_fn(step, metrics):
+        line = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
+        print(f"step {step}: {line}", flush=True)
+        if logger:
+            logger.log(step, metrics)
+
+    fit(
+        cfg,
+        ds.batches(steps=cfg.train.max_steps),
+        checkpoint_dir=args.checkpoint_dir,
+        log_fn=log_fn,
+    )
+    if logger:
+        logger.close()
+    return 0
+
+
+def cmd_infer(args) -> int:
+    import jax
+    import numpy as np
+
+    from davo_tpu.data.kitti import write_poses_kitti
+    from davo_tpu.eval.runner import (
+        assemble_trajectory,
+        make_pose_apply_fn,
+        predict_sequence,
+    )
+    from davo_tpu.models import presets
+    from davo_tpu.models.davo import DavoModel
+    from davo_tpu.train.loop import (
+        create_state,
+        make_checkpoint_manager,
+        restore_checkpoint,
+    )
+
+    cfg = _apply_sets(presets.get(args.version), args.set)
+    frames, seg, _, _ = _load_sequence(
+        args.data, args.seq, cfg, cfg.model.attention == "flow_seg"
+    )
+    # Build state template from a dummy batch and restore.
+    sample = {
+        "target": frames[:1],
+        "sources": frames[:1][:, None],
+        "K": np.eye(3, dtype=np.float32)[None],
+    }
+    if seg is not None:
+        sample["seg"] = seg[:1]
+    model, state, _ = create_state(cfg, jax.random.key(0), sample)
+    if args.ckpt:
+        mngr = make_checkpoint_manager(args.ckpt)
+        restored = restore_checkpoint(mngr, state)
+        if restored is None:
+            print(f"no checkpoint found in {args.ckpt}", file=sys.stderr)
+            return 1
+        state = restored
+    apply_fn = make_pose_apply_fn(
+        model, state.params, cfg.model.attention
+    )
+    rels = predict_sequence(
+        apply_fn, frames, seg=seg, batch_size=args.batch_size
+    )
+    traj = assemble_trajectory(rels)
+    write_poses_kitti(args.out, traj)
+    print(f"wrote {len(traj)} poses to {args.out}")
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import numpy as np
+
+    from davo_tpu.data.kitti import parse_poses
+    from davo_tpu.eval.metrics import kitti_seg_errors, snippet_ate
+    from davo_tpu.eval.runner import evaluate_sequence
+
+    with open(args.gt) as f:
+        gt = parse_poses(f.read())
+    with open(args.pred) as f:
+        pred = parse_poses(f.read())
+    n = min(len(gt), len(pred))
+    report = evaluate_sequence(pred[:n], gt[:n], snippet_len=args.snippet_len)
+    if args.devkit:
+        from davo_tpu.eval.devkit import kitti_seg_errors_cpp
+
+        cpp = kitti_seg_errors_cpp(gt[:n], pred[:n])
+        report["t_err_pct_cpp"] = cpp["t_err_pct"]
+        report["r_err_deg_per_100m_cpp"] = cpp["r_err_deg_per_100m"]
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py
+
+    bench_mod.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="davo-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("train", help="train a model")
+    t.add_argument("--version", default="davo")
+    t.add_argument("--data", default="synthetic", help="'synthetic' or KITTI root")
+    t.add_argument("--seq", default=None)
+    t.add_argument("--steps", type=int, default=None)
+    t.add_argument("--checkpoint-dir", default=None)
+    t.add_argument("--log-dir", default=None)
+    t.add_argument("--set", action="append", help="dotted override k=v")
+    t.set_defaults(fn=cmd_train)
+
+    i = sub.add_parser("infer", help="predict a trajectory")
+    i.add_argument("--version", default="davo")
+    i.add_argument("--data", default="synthetic")
+    i.add_argument("--seq", default="09")
+    i.add_argument("--ckpt", default=None)
+    i.add_argument("--out", required=True)
+    i.add_argument("--batch-size", type=int, default=32)
+    i.add_argument("--set", action="append")
+    i.set_defaults(fn=cmd_infer)
+
+    e = sub.add_parser("eval", help="evaluate a trajectory vs GT")
+    e.add_argument("--gt", required=True)
+    e.add_argument("--pred", required=True)
+    e.add_argument("--snippet-len", type=int, default=5)
+    e.add_argument("--devkit", action="store_true", help="also run C++ devkit")
+    e.set_defaults(fn=cmd_eval)
+
+    b = sub.add_parser("bench", help="throughput benchmark")
+    b.add_argument("--version", default="davo")
+    b.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -28,7 +28,11 @@ class ModelConfig:
     attention: str = "flow_seg"  # none | flow | flow_seg (paper's full model)
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
-    use_pallas: bool = True      # fused Pallas kernels where beneficial
+    # Standalone the Pallas cost volume beats the XLA lowering, but
+    # in-context it blocks XLA fusion around it (measured r1: 3831 ->
+    # 2717 fps e2e). Off by default until the fused estimator kernel
+    # absorbs it (r2).
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -20,6 +20,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _interpret() -> bool:
+    # Interpret mode lets the same kernels run (slowly) on CPU for tests.
+    return jax.default_backend() != "tpu"
+
+
 def _costvol_kernel(f1_ref, f2p_ref, out_ref, *, search: int, height: int, width: int):
     d = 2 * search + 1
     f1 = f1_ref[0].astype(jnp.float32)  # (H, W, C)
@@ -64,6 +69,7 @@ def cost_volume_pallas(
             bytes_accessed=4 * B * H * W * (2 * C + d * d),
             transcendentals=0,
         ),
+        interpret=_interpret(),
     )(f1, f2p)
     return jnp.transpose(out, (0, 2, 3, 1))
 

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig
 from davo_tpu.core.warp import flow_warp
+from davo_tpu.kernels.costvol import cost_volume_pallas
 from davo_tpu.kernels.resize import resize_bilinear_aligned
 from davo_tpu.models.common import ConvBlock, dtype_of
 
@@ -113,10 +114,13 @@ class FlowNetLite(nn.Module):
             else:
                 flow_up = 2.0 * resize_bilinear_aligned(flow, H, W)
                 f2w, _ = flow_warp(f2, flow_up)
+            cv_fn = (
+                cost_volume_pallas
+                if self.cfg.use_pallas and jax.default_backend() == "tpu"
+                else cost_volume
+            )
             cv = nn.relu(
-                cost_volume(
-                    f1.astype(jnp.float32), f2w.astype(jnp.float32), search
-                )
+                cv_fn(f1.astype(jnp.float32), f2w.astype(jnp.float32), search)
             )
             flow = self.estimators[level - 1](cv, f1, flow_up)
             flows.append(flow)

@@ -1,0 +1,139 @@
+"""Presets, PCG solver, CLI smoke, metrics logger, bootstrap."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.ba.pcg import pcg_solve
+from davo_tpu.ba import schur
+from davo_tpu.models import presets
+from davo_tpu.utils.metrics import MetricsLogger
+
+
+class TestPresets:
+    def test_known_names(self):
+        assert "davo" in presets.available()
+        assert presets.get("davo").model.attention == "flow_seg"
+        assert presets.get("base").model.attention == "none"
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            presets.get("nope")
+
+    def test_overrides(self):
+        cfg = presets.with_overrides("davo", img_height=64, img_width=96)
+        assert cfg.model.img_height == 64
+        # original untouched (frozen)
+        assert presets.get("davo").model.img_height == 128
+
+
+class TestPCG:
+    def _random_spd_system(self, rng, M=6):
+        A = rng.normal(size=(6 * M, 6 * M))
+        dense = A @ A.T + 6 * M * np.eye(6 * M)
+        S = dense.reshape(M, 6, M, 6).transpose(0, 2, 1, 3)
+        rhs = rng.normal(size=(M, 6))
+        return (
+            jnp.asarray(S, jnp.float32),
+            jnp.asarray(rhs, jnp.float32),
+            dense,
+        )
+
+    def test_matches_direct(self, rng):
+        S, rhs, dense = self._random_spd_system(rng)
+        x_pcg = pcg_solve(S, rhs, iterations=60, n_fixed=2)
+        x_lu = schur.solve_window(S, rhs, n_fixed=2)
+        np.testing.assert_allclose(
+            np.asarray(x_pcg), np.asarray(x_lu), rtol=1e-3, atol=1e-4
+        )
+
+    def test_gauge_clamped(self, rng):
+        S, rhs, _ = self._random_spd_system(rng)
+        x = pcg_solve(S, rhs, iterations=40, n_fixed=2)
+        assert float(jnp.abs(x[:2]).max()) == 0.0
+
+
+class TestMetricsLogger:
+    def test_jsonl(self, tmp_path):
+        logger = MetricsLogger(str(tmp_path), tensorboard=False)
+        logger.log(1, {"loss": 0.5})
+        logger.log(2, {"loss": jnp.asarray(0.25)})
+        logger.close()
+        lines = open(tmp_path / "metrics.jsonl").read().strip().splitlines()
+        assert len(lines) == 2
+        rec = json.loads(lines[1])
+        assert rec["step"] == 2 and rec["loss"] == 0.25
+
+
+class TestBootstrap:
+    def test_single_process(self):
+        from davo_tpu.dist.bootstrap import initialize
+
+        topo = initialize()
+        assert topo.num_processes == 1
+        assert topo.is_coordinator
+        assert topo.global_device_count == jax.device_count()
+
+
+CLI_ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "PALLAS_AXON_POOL_IPS": "",
+    "PYTHONPATH": "/root/repo",
+}
+
+
+@pytest.mark.slow
+class TestCLI:
+    def test_train_infer_eval_roundtrip(self, tmp_path):
+        """Smoke the full CLI surface on the tiny synthetic preset."""
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "pred.txt")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "davo_tpu.cli.main", "train",
+                "--version", "tiny", "--data", "synthetic",
+                "--steps", "3", "--checkpoint-dir", ckpt,
+                "--set", "train.batch_size=2",
+                "--set", "train.pose_supervision_weight=10.0",
+                "--set", "train.log_every=1",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "step 3" in r.stdout
+
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "davo_tpu.cli.main", "infer",
+                "--version", "tiny", "--data", "synthetic", "--seq", "0",
+                "--ckpt", ckpt, "--out", out, "--batch-size", "8",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert os.path.exists(out)
+
+        # GT for the same synthetic sequence:
+        from davo_tpu.data.kitti import write_poses_kitti
+        from davo_tpu.data.synthetic import SyntheticSequence
+
+        gt_path = str(tmp_path / "gt.txt")
+        s = SyntheticSequence(n_frames=32, height=48, width=64, seed=0)
+        write_poses_kitti(gt_path, s.poses)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "davo_tpu.cli.main", "eval",
+                "--gt", gt_path, "--pred", out,
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        report = json.loads(r.stdout)
+        assert "ate_full" in report and np.isfinite(report["ate_full"])

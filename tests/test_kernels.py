@@ -1,0 +1,131 @@
+"""Pallas kernels vs their XLA references (interpret mode on CPU;
+SURVEY.md §4.1 'Pallas kernels vs jax.lax reference ops')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.kernels.conv_stack import (
+    fusable_prefix,
+    fused_conv_stack,
+    same_pads,
+)
+from davo_tpu.kernels.costvol import cost_volume_pallas, cost_volume_xla
+from davo_tpu.kernels.resize import resize_bilinear_aligned, upsample2x_bilinear
+from davo_tpu.kernels.sample import bilinear_sample_matmul
+from davo_tpu.core.warp import bilinear_sample
+
+
+class TestCostVolume:
+    def test_matches_xla(self, rng):
+        f1 = jnp.asarray(rng.normal(size=(2, 8, 12, 16)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(2, 8, 12, 16)), jnp.float32)
+        got = cost_volume_pallas(f1, f2, 2)
+        want = cost_volume_xla(f1, f2, 2)
+        assert got.shape == (2, 8, 12, 25)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+class TestResize:
+    @pytest.mark.parametrize("factor", [2, 4])
+    def test_matches_jax_image(self, rng, factor):
+        x = jnp.asarray(rng.uniform(size=(2, 6, 10, 3)), jnp.float32)
+        want = jax.image.resize(
+            x, (2, 6 * factor, 10 * factor, 3), method="bilinear"
+        )
+        got = upsample2x_bilinear(x, factor)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_aligned_fallback(self, rng):
+        x = jnp.asarray(rng.uniform(size=(1, 4, 4, 2)), jnp.float32)
+        out = resize_bilinear_aligned(x, 6, 6)  # non-integer factor
+        assert out.shape == (1, 6, 6, 2)
+
+
+class TestMatmulSampler:
+    def test_matches_gather_sampler(self, rng):
+        img = jnp.asarray(rng.uniform(size=(2, 8, 10, 4)), jnp.float32)
+        coords = jnp.asarray(
+            rng.uniform(-1, 11, size=(2, 6, 7, 2)), jnp.float32
+        )
+        got, gvalid = bilinear_sample_matmul(img, coords)
+        want, wvalid = bilinear_sample(img, coords)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(gvalid), np.asarray(wvalid))
+
+
+class TestFusedConvStack:
+    def _xla_stack(self, x, weights, biases, strides):
+        y = x
+        for w, b, s in zip(weights, biases, strides):
+            y = jax.lax.conv_general_dilated(
+                y, w, (s, s), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            y = jax.nn.relu(y + b)
+        return y
+
+    def _make(self, rng, ks, chans, cin):
+        ws, bs = [], []
+        for k, c in zip(ks, chans):
+            ws.append(
+                jnp.asarray(
+                    rng.normal(size=(k, k, cin, c)) / np.sqrt(k * k * cin),
+                    jnp.float32,
+                )
+            )
+            bs.append(jnp.asarray(rng.normal(size=(c,)) * 0.01, jnp.float32))
+            cin = c
+        return tuple(ws), tuple(bs)
+
+    def test_stride1_matches_xla(self, rng):
+        x = jnp.asarray(rng.uniform(size=(4, 8, 12, 8)), jnp.float32)
+        ws, bs = self._make(rng, (3, 3), (16, 8), 8)
+        want = self._xla_stack(x, ws, bs, (1, 1))
+        got = fused_conv_stack(
+            x, ws, bs, (1, 1), (True, True),
+            batch_tile=2, compute_dtype_name="float32",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_stride2_matches_xla(self, rng):
+        """Parity-plane stride-2 path incl. k=5/k=7 asymmetric pads."""
+        x = jnp.asarray(rng.uniform(size=(2, 16, 24, 4)), jnp.float32)
+        ws, bs = self._make(rng, (5, 3), (8, 16), 4)
+        want = self._xla_stack(x, ws, bs, (2, 2))
+        got = fused_conv_stack(
+            x, ws, bs, (2, 2), (True, True),
+            batch_tile=1, compute_dtype_name="float32",
+        )
+        assert got.shape == want.shape == (2, 4, 6, 16)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_mixed_strides(self, rng):
+        x = jnp.asarray(rng.uniform(size=(2, 8, 8, 4)), jnp.float32)
+        ws, bs = self._make(rng, (3, 3, 3), (8, 8, 8), 4)
+        want = self._xla_stack(x, ws, bs, (2, 1, 2))
+        got = fused_conv_stack(
+            x, ws, bs, (2, 1, 2), (True, True, True),
+            batch_tile=2, compute_dtype_name="float32",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_fusable_prefix(self):
+        # 416-wide: stride-2 chain hits odd width (13) at layer 6.
+        assert fusable_prefix(128, 416, (7, 5, 3, 3, 3, 3, 3), (2,) * 7) == 5
+        assert fusable_prefix(64, 64, (3, 3), (2, 2)) == 2
+
+    def test_same_pads(self):
+        assert same_pads(128, 3, 2) == (64, 0, 1)
+        assert same_pads(13, 3, 2) == (7, 1, 1)
+        assert same_pads(416, 7, 2) == (208, 2, 3)
