@@ -1,0 +1,127 @@
+"""Offline dataset preparation: raw KITTI -> training snippet dirs.
+
+Reference parity: `<ref>/data/prepare_train_data.py` +
+`kitti_odom_loader.py` (SURVEY.md R11 [H]): resize frames, write
+`[I_{t-1} I_t I_{t+1}]` horizontally-concatenated snippet images plus
+per-snippet `*_cam.txt` intrinsics and train/val split lists, with a
+multiprocessing pool over frames. The online `SnippetDataset` does not
+need this (it reads sequences directly); the offline form exists for
+(a) parity with the reference's dataset layout and (b) amortizing
+decode+resize for long training runs.
+"""
+
+from __future__ import annotations
+
+import os
+from multiprocessing import Pool
+
+import numpy as np
+
+from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry
+
+
+def _write_snippet(args) -> str:
+    import cv2
+
+    root, seq, t, out_dir, height, width, native_hw = args
+    ko = KittiOdometry(root, seq)
+    frames = [
+        (ko.load_frame(i, height, width) * 255).astype(np.uint8)
+        for i in (t - 1, t, t + 1)
+    ]
+    concat = np.concatenate(frames, axis=1)  # H x 3W x 3
+    name = f"{seq}_{t:06d}"
+    cv2.imwrite(
+        os.path.join(out_dir, name + ".jpg"),
+        cv2.cvtColor(concat, cv2.COLOR_RGB2BGR),
+    )
+    K = ko.scaled_intrinsics(height, width, native_hw)
+    with open(os.path.join(out_dir, name + "_cam.txt"), "w") as f:
+        f.write(",".join(str(v) for v in K.ravel()))
+    return name
+
+
+def prepare_kitti_odometry(
+    root: str,
+    out_dir: str,
+    height: int = 128,
+    width: int = 416,
+    seqs: tuple = TRAIN_SEQS,
+    num_workers: int = 4,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+) -> dict:
+    """Build the reference-layout training set. Returns counts."""
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = []
+    for seq in seqs:
+        ko = KittiOdometry(root, seq)
+        import cv2
+
+        native_hw = cv2.imread(ko.frame_path(0)).shape[:2]
+        for t in range(1, len(ko) - 1):
+            jobs.append((root, seq, t, out_dir, height, width, native_hw))
+
+    if num_workers > 1:
+        with Pool(num_workers) as pool:
+            names = pool.map(_write_snippet, jobs)
+    else:
+        names = [_write_snippet(j) for j in jobs]
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(names))
+    n_val = int(len(names) * val_fraction)
+    val = sorted(names[i] for i in order[:n_val])
+    train = sorted(names[i] for i in order[n_val:])
+    with open(os.path.join(out_dir, "train.txt"), "w") as f:
+        f.write("\n".join(train) + "\n")
+    with open(os.path.join(out_dir, "val.txt"), "w") as f:
+        f.write("\n".join(val) + "\n")
+    return {"train": len(train), "val": len(val)}
+
+
+class PreparedSnippets:
+    """Reader for the offline layout (snippet-source protocol-ish).
+
+    Yields dict batches shaped like `SnippetDataset` from the
+    concatenated-triplet files the reference pipeline consumes.
+    """
+
+    def __init__(self, data_dir: str, split: str = "train", seed: int = 0):
+        self.dir = data_dir
+        with open(os.path.join(data_dir, f"{split}.txt")) as f:
+            self.names = [l.strip() for l in f if l.strip()]
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.names)
+
+    def load(self, name: str) -> dict:
+        import cv2
+
+        img = cv2.imread(os.path.join(self.dir, name + ".jpg"))
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+        w = img.shape[1] // 3
+        prev_f, tgt, nxt = img[:, :w], img[:, w : 2 * w], img[:, 2 * w :]
+        with open(os.path.join(self.dir, name + "_cam.txt")) as f:
+            K = np.fromstring(f.read(), sep=",").reshape(3, 3)
+        return {
+            "target": tgt,
+            "sources": np.stack([prev_f, nxt]),
+            "K": K.astype(np.float32),
+        }
+
+    def batches(self, batch_size: int, steps: int | None = None):
+        produced = 0
+        while steps is None or produced < steps:
+            order = self.rng.permutation(self.names)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                items = [self.load(n) for n in order[start : start + batch_size]]
+                yield {
+                    k: np.stack([it[k] for it in items]) for k in items[0]
+                }
+                produced += 1
+                if steps is not None and produced >= steps:
+                    return
+            if len(self.names) < batch_size:
+                return

@@ -1,0 +1,101 @@
+"""Context-parallel streaming eval + offline prep tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from davo_tpu.config import Config, ModelConfig, TrainConfig
+from davo_tpu.data.synthetic import SyntheticSequence
+from davo_tpu.dist.mesh import make_mesh
+from davo_tpu.dist.streaming import make_streaming_eval, pad_pairs
+from davo_tpu.eval.runner import assemble_trajectory, predict_sequence
+from davo_tpu.train.loop import create_state
+
+TINY = ModelConfig(
+    img_height=32, img_width=32,
+    pose_channels=(8, 12), disp_channels=(8, 12),
+    flow_levels=2, flow_search_range=2,
+    attention="none", pose_scale=1.0, compute_dtype="float32",
+)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+class TestStreamingEval:
+    def test_matches_host_loop(self):
+        """Sharded streaming (chunks + in-jit associative scan) must
+        equal the single-device predict_sequence + host assembly."""
+        seq = SyntheticSequence(n_frames=18, height=32, width=32, seed=4)
+        frames = np.stack([seq.frame(i) for i in range(len(seq))])
+        cfg = Config(model=TINY, train=TrainConfig(batch_size=4))
+        sample = {
+            "target": frames[:4],
+            "sources": frames[:4][:, None],
+            "K": np.eye(3, dtype=np.float32)[None].repeat(4, 0),
+        }
+        model, state, _ = create_state(cfg, jax.random.key(0), sample)
+
+        # Host-loop reference.
+        @jax.jit
+        def apply_fn(t, s, g=None):
+            out = model.apply(state.params, t, s[:, None], train=False)
+            return out["poses"][:, 0]
+
+        rels = predict_sequence(apply_fn, frames, batch_size=4)
+        want = assemble_trajectory(rels)
+
+        # Sharded streaming (17 pairs -> pad to 24 = 8*3).
+        mesh = make_mesh()
+        padded, n_pairs = pad_pairs(frames, mesh.shape["data"])
+        stream = make_streaming_eval(model, state.params, mesh)
+        poses, vecs = stream(padded)
+        got = poses[: n_pairs + 1]
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_pad_pairs(self):
+        frames = np.zeros((18, 4, 4, 3), np.float32)
+        padded, n = pad_pairs(frames, 8)
+        assert n == 17
+        assert (len(padded) - 1) % 8 == 0
+
+
+class TestOfflinePrep:
+    def test_roundtrip(self, tmp_path):
+        """Write a KITTI tree, run prep, read back via PreparedSnippets."""
+        import cv2
+
+        from davo_tpu.data.kitti import format_poses_kitti
+        from davo_tpu.data.prep import PreparedSnippets, prepare_kitti_odometry
+
+        seq = SyntheticSequence(n_frames=6, height=48, width=64, seed=0)
+        root = tmp_path / "kitti"
+        img_dir = root / "sequences" / "00" / "image_2"
+        img_dir.mkdir(parents=True)
+        for i in range(6):
+            cv2.imwrite(
+                str(img_dir / f"{i:06d}.png"),
+                cv2.cvtColor(
+                    (seq.frame(i) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
+        K = seq.K
+        calib = " ".join(
+            str(v) for v in np.hstack([K, np.zeros((3, 1))]).ravel()
+        )
+        (root / "sequences" / "00" / "calib.txt").write_text(f"P2: {calib}\n")
+        (root / "poses").mkdir()
+        (root / "poses" / "00.txt").write_text(format_poses_kitti(seq.poses))
+
+        out = tmp_path / "prepared"
+        counts = prepare_kitti_odometry(
+            str(root), str(out), height=24, width=32,
+            seqs=("00",), num_workers=1, val_fraction=0.25,
+        )
+        assert counts["train"] + counts["val"] == 4  # frames 1..4
+
+        ds = PreparedSnippets(str(out), split="train")
+        assert len(ds) == counts["train"]
+        batch = next(ds.batches(batch_size=min(2, len(ds)), steps=1))
+        assert batch["target"].shape[1:] == (24, 32, 3)
+        assert batch["sources"].shape[1:] == (2, 24, 32, 3)
+        assert batch["K"].shape[1:] == (3, 3)
