@@ -187,6 +187,64 @@ def cmd_infer(args) -> int:
     return 0
 
 
+def cmd_depth(args) -> int:
+    """Depth-map inference (reference parity: `<ref>/test_kitti_depth.py`,
+    SURVEY.md R3): writes per-frame depth .npy files."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from davo_tpu.models import presets
+    from davo_tpu.models.dispnet import disp_to_depth
+    from davo_tpu.train.loop import (
+        create_state,
+        make_checkpoint_manager,
+        restore_checkpoint,
+    )
+
+    cfg = _apply_sets(presets.get(args.version), args.set)
+    frames, seg, _, _ = _load_sequence(args.data, args.seq, cfg, False)
+    sample = {
+        "target": frames[:1],
+        "sources": frames[:1][:, None],
+        "K": np.eye(3, dtype=np.float32)[None],
+    }
+    model, state, _ = create_state(cfg, jax.random.key(0), sample)
+    if args.ckpt:
+        mngr = make_checkpoint_manager(args.ckpt)
+        restored = restore_checkpoint(mngr, state)
+        if restored is None:
+            print(f"no checkpoint found in {args.ckpt}", file=sys.stderr)
+            return 1
+        state = restored
+
+    @jax.jit
+    def depth_fn(targets, sources):
+        out = model.apply(
+            state.params, targets, sources, train=True
+        )
+        return disp_to_depth(out["disp"][0][..., 0])
+
+    os.makedirs(args.out, exist_ok=True)
+    bs = args.batch_size
+    n = len(frames) - 1
+    for start in range(0, n, bs):
+        end = min(start + bs, n)
+        pad = bs - (end - start)
+        tgt = frames[start:end]
+        src = frames[start + 1 : end + 1]
+        if pad:
+            tgt = np.concatenate([tgt, np.repeat(tgt[-1:], pad, 0)])
+            src = np.concatenate([src, np.repeat(src[-1:], pad, 0)])
+        d = np.asarray(depth_fn(jnp.asarray(tgt), jnp.asarray(src)[:, None]))
+        for i in range(end - start):
+            np.save(os.path.join(args.out, f"{start + i:06d}.npy"), d[i])
+    print(f"wrote {n} depth maps to {args.out}")
+    return 0
+
+
 def cmd_eval(args) -> int:
     import numpy as np
 
@@ -240,6 +298,16 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--batch-size", type=int, default=32)
     i.add_argument("--set", action="append")
     i.set_defaults(fn=cmd_infer)
+
+    d = sub.add_parser("depth", help="depth-map inference")
+    d.add_argument("--version", default="davo")
+    d.add_argument("--data", default="synthetic")
+    d.add_argument("--seq", default="09")
+    d.add_argument("--ckpt", default=None)
+    d.add_argument("--out", required=True)
+    d.add_argument("--batch-size", type=int, default=32)
+    d.add_argument("--set", action="append")
+    d.set_defaults(fn=cmd_depth)
 
     e = sub.add_parser("eval", help="evaluate a trajectory vs GT")
     e.add_argument("--gt", required=True)
