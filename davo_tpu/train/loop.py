@@ -97,6 +97,27 @@ def make_checkpoint_manager(directory: str, max_to_keep: int = 3):
     )
 
 
+def save_config(directory: str, cfg: Config) -> None:
+    """Serialize the full config next to the checkpoints (SURVEY.md §5:
+    reproducibility — every run's exact config rides with its state)."""
+    import dataclasses
+    import json
+
+    os.makedirs(directory, exist_ok=True)
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+
+def load_config(directory: str) -> dict | None:
+    import json
+
+    path = os.path.join(directory, "config.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_checkpoint(mngr, state: TrainState) -> None:
     import orbax.checkpoint as ocp
 
@@ -137,6 +158,7 @@ def fit(
 
     mngr = make_checkpoint_manager(checkpoint_dir) if checkpoint_dir else None
     if mngr is not None:
+        save_config(checkpoint_dir, cfg)
         restored = restore_checkpoint(mngr, state)
         if restored is not None:
             state = restored

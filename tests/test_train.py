@@ -153,6 +153,27 @@ class TestTrainStep:
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+class TestNanDebugTier:
+    def test_step_clean_under_debug_nans(self, dataset):
+        """SURVEY.md §5 sanitizer tier: one train step under
+        jax_debug_nans must not trip (validity-masked warps etc.)."""
+        import jax
+
+        cfg = Config(
+            model=TINY,
+            train=TrainConfig(batch_size=2, pose_supervision_weight=10.0),
+        )
+        batch = {k: jnp.asarray(v) for k, v in next(dataset.batches(steps=1)).items()}
+        jax.config.update("jax_debug_nans", True)
+        try:
+            model, state, tx = create_state(cfg, jax.random.key(0), batch)
+            step = make_train_step(model, tx, cfg)
+            state, metrics = step(state, batch)
+            assert np.isfinite(float(metrics["total"]))
+        finally:
+            jax.config.update("jax_debug_nans", False)
+
+
 class TestEndToEndTiny:
     """BASELINE config #1 in miniature: supervised PoseNet overfit on a
     synthetic sequence, then streaming eval -> trajectory -> ATE."""
