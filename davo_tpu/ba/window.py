@@ -103,7 +103,28 @@ class SlidingWindowBA:
         K: np.ndarray,
         grid_step: int = 8,
         obs_noise_fn=None,
+        obs_poses: np.ndarray | None = None,
     ) -> np.ndarray:
+        """Refine `poses_wc` window by window.
+
+        Observations must be MEASUREMENTS independent of the poses
+        being refined — otherwise every residual is zero by
+        construction and BA is a no-op. `obs_poses` supplies the
+        poses used to project landmark observations (e.g. synthetic
+        GT as an oracle, or — r2 — flow-tracked correspondences
+        replace projection entirely). Defaults to `poses_wc` with a
+        loud warning so accidental self-consistency is visible.
+        """
+        if obs_poses is None:
+            import warnings
+
+            warnings.warn(
+                "refine_trajectory: observations projected from the "
+                "poses being refined are self-consistent (zero "
+                "residual) — pass obs_poses or flow tracks",
+                stacklevel=2,
+            )
+            obs_poses = poses_wc
         M = self.cfg.window_size
         out = poses_wc.copy()
         stride = max(M // 2, 1)
@@ -111,12 +132,19 @@ class SlidingWindowBA:
             end = min(start + M, len(out))
             if end - start < 3:
                 break
-            win_poses = out[start:end]
             win_depths = depths[start:end]
             noise = obs_noise_fn(end - start) if obs_noise_fn else None
             prob = build_window_problem(
-                win_poses, win_depths, K, grid_step, noise
+                obs_poses[start:end], win_depths, K, grid_step, noise
+            )
+            # Initialize the solve at the trajectory being refined;
+            # first two poses anchor the window to it (gauge).
+            prob = prob._replace(
+                poses_cw=jnp.asarray(
+                    np.linalg.inv(out[start:end]), jnp.float32
+                )
             )
             refined = ba_refine(prob, self.cfg)
-            out[start:end] = np.linalg.inv(np.asarray(refined.poses_cw))
+            new_wc = np.linalg.inv(np.asarray(refined.poses_cw))
+            out[start + 2 : end] = new_wc[2:]
         return out

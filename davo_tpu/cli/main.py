@@ -268,6 +268,64 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_ba(args) -> int:
+    """Sliding-window BA refinement of a predicted trajectory
+    (BASELINE config #4 surface). Depth comes from --depth-dir (.npy
+    per frame, e.g. `davo-tpu depth` output) or synthetic GT."""
+    import numpy as np
+
+    from davo_tpu.ba.window import SlidingWindowBA
+    from davo_tpu.config import BAConfig
+    from davo_tpu.data.kitti import parse_poses, write_poses_kitti
+    from davo_tpu.models import presets
+
+    cfg = _apply_sets(presets.get(args.version), args.set)
+    with open(args.pred) as f:
+        pred = parse_poses(f.read())
+    frames_meta = _load_sequence(args.data, args.seq, cfg, False)
+    K = frames_meta[3]
+    n = len(pred)
+
+    if args.depth_dir:
+        import os
+
+        depths = np.stack(
+            [
+                np.load(os.path.join(args.depth_dir, f"{i:06d}.npy"))
+                for i in range(n)
+            ]
+        )
+    elif args.data == "synthetic":
+        from davo_tpu.data.synthetic import SyntheticSequence
+
+        s = SyntheticSequence(
+            n_frames=32, height=cfg.model.img_height,
+            width=cfg.model.img_width, seed=int(args.seq or 0),
+        )
+        depths = np.stack([s.depth(i) for i in range(n)])
+    else:
+        print("need --depth-dir for non-synthetic data", file=sys.stderr)
+        return 1
+
+    ba_cfg = BAConfig(
+        window_size=args.window, max_iterations=args.iterations,
+        damping=1e-3, huber_delta=3.0,
+    )
+    obs_poses = None
+    if args.data == "synthetic":
+        # Oracle observations from the synthetic world's GT poses
+        # (independent measurement; KITTI needs flow tracks — r2).
+        obs_poses = frames_meta[2][:n]
+    swba = SlidingWindowBA(ba_cfg)
+    refined = swba.refine_trajectory(
+        pred, depths, np.asarray(K, np.float64),
+        grid_step=args.grid_step, obs_poses=obs_poses,
+    )
+    write_poses_kitti(args.out, refined)
+    print(f"refined {n} poses -> {args.out}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
@@ -315,6 +373,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--snippet-len", type=int, default=5)
     e.add_argument("--devkit", action="store_true", help="also run C++ devkit")
     e.set_defaults(fn=cmd_eval)
+
+    a = sub.add_parser("ba", help="sliding-window BA refinement")
+    a.add_argument("--version", default="davo")
+    a.add_argument("--data", default="synthetic")
+    a.add_argument("--seq", default="09")
+    a.add_argument("--pred", required=True, help="predicted trajectory (KITTI fmt)")
+    a.add_argument("--depth-dir", default=None)
+    a.add_argument("--out", required=True)
+    a.add_argument("--window", type=int, default=8)
+    a.add_argument("--iterations", type=int, default=8)
+    a.add_argument("--grid-step", type=int, default=8)
+    a.add_argument("--set", action="append")
+    a.set_defaults(fn=cmd_ba)
 
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--version", default="davo")
