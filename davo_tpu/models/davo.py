@@ -70,7 +70,28 @@ class DavoModel(nn.Module):
         flat_src = jnp.moveaxis(sources, 1, 0).reshape(S * B, H, W, 3)
         rep_tgt = jnp.tile(target, (S, 1, 1, 1))
 
-        extra = None
+        # Temporal-direction plane: the reference disambiguates motion
+        # direction POSITIONALLY (triplet concat -> per-slot outputs,
+        # `pose_exp_net`); with batch-folded pairs that information
+        # must ride as an input channel, else the net faces the
+        # zero-pose plateau (must infer direction from parallax before
+        # any pose gradient flows — measured: no learning in 1.5k
+        # steps without this, immediate with it).
+        # Sources are ordered [t-k..t-1, t+1..t+k]; offset in [-1, 1].
+        k = S // 2 if S > 1 else 1
+        offsets = [
+            (i - k if i < k else i - k + 1) / k if S > 1 else -1.0
+            for i in range(S)
+        ]
+        dir_plane = jnp.concatenate(
+            [
+                jnp.full((B, H, W, 1), o, target.dtype)
+                for o in offsets
+            ],
+            axis=0,
+        )
+
+        extra = dir_plane
         region_weight_fn = None
         if self.cfg.attention != "none":
             pyr = self.flownet(rep_tgt, flat_src)  # levels of (S*B, h, w, 2)
@@ -79,7 +100,7 @@ class DavoModel(nn.Module):
                 for s in range(S)
             ]
             flow_full = FlowNetLite.full_res_flow(pyr[0], H, W)
-            extra = flow_full
+            extra = jnp.concatenate([dir_plane, flow_full], axis=-1)
             if self.cfg.attention == "flow_seg":
                 weights = self.attn(flow_full)  # (S*B, K)
                 out["attn"] = jnp.moveaxis(

@@ -192,7 +192,9 @@ class TestEndToEndTiny:
             ),
         )
         model, state, history = fit(cfg, ds.batches(steps=600))
-        assert history[-1]["pose_sup"] < history[0]["pose_sup"] * 0.5
+        # Direction-channel model converges before the first log point;
+        # assert the absolute level instead of relative improvement.
+        assert history[-1]["pose_sup"] < 0.05
 
         frames = np.stack([seq.frame(i) for i in range(seq.n_frames)])
         apply_fn = make_pose_apply_fn(model, state.params)
