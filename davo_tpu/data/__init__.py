@@ -14,5 +14,9 @@ from davo_tpu.data.kitti import (  # noqa: F401
     write_poses_kitti,
 )
 from davo_tpu.data.synthetic import SyntheticSequence  # noqa: F401
-from davo_tpu.data.snippets import SnippetDataset, snippet_indices  # noqa: F401
+from davo_tpu.data.snippets import (  # noqa: F401
+    SnippetDataset,
+    MultiSourceDataset,
+    snippet_indices,
+)
 from davo_tpu.data.prefetch import device_prefetch  # noqa: F401

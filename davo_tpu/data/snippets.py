@@ -153,3 +153,55 @@ class SnippetDataset:
                 produced += 1
                 if steps is not None and produced >= steps:
                     return
+
+
+class MultiSourceDataset:
+    """Shuffled snippet batches drawn across several source sequences.
+
+    Single-scene training overfits texture (measured r1: train-world
+    relative-pose error 0.08 m/frame vs 1.08 on an unseen world);
+    sampling across worlds is the synthetic analog of the reference's
+    multi-sequence KITTI training set (seqs 00-08).
+    """
+
+    def __init__(self, sources, batch_size=4, seq_length=3,
+                 with_seg=False, with_gt=False, augment=False, seed=0):
+        self.datasets = [
+            SnippetDataset(
+                s, batch_size=1, seq_length=seq_length, with_seg=with_seg,
+                with_gt=with_gt, augment=augment, seed=seed + i,
+            )
+            for i, s in enumerate(sources)
+        ]
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        # Global index: (dataset_idx, target_frame)
+        self.index = [
+            (d_i, t)
+            for d_i, d in enumerate(self.datasets)
+            for t in d.indices
+        ]
+
+    def batches(self, steps=None, shuffle=True):
+        if len(self.index) < self.batch_size:
+            return
+        produced = 0
+        while steps is None or produced < steps:
+            order = (
+                self.rng.permutation(len(self.index))
+                if shuffle
+                else np.arange(len(self.index))
+            )
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                chosen = order[start : start + self.batch_size]
+                items = [
+                    self.datasets[self.index[i][0]].snippet(self.index[i][1])
+                    for i in chosen
+                ]
+                yield {
+                    key: np.stack([it[key] for it in items], 0)
+                    for key in items[0]
+                }
+                produced += 1
+                if steps is not None and produced >= steps:
+                    return

@@ -193,6 +193,29 @@ class TestSnippets:
         np.testing.assert_array_equal(b1["target"], b2["target"])
 
 
+class TestMultiSource:
+    def test_batches_mix_worlds(self):
+        from davo_tpu.data.snippets import MultiSourceDataset
+
+        worlds = [
+            SyntheticSequence(n_frames=5, height=16, width=16, seed=s)
+            for s in range(3)
+        ]
+        ds = MultiSourceDataset(worlds, batch_size=4, with_gt=True, seed=0)
+        assert len(ds.index) == 9  # 3 snippets per 5-frame world
+        batches = list(ds.batches(steps=2))
+        assert len(batches) == 2
+        assert batches[0]["target"].shape == (4, 16, 16, 3)
+        assert batches[0]["gt_pose"].shape == (4, 2, 4, 4)
+
+    def test_too_small_pool(self):
+        from davo_tpu.data.snippets import MultiSourceDataset
+
+        worlds = [SyntheticSequence(n_frames=3, height=16, width=16)]
+        ds = MultiSourceDataset(worlds, batch_size=4)
+        assert list(ds.batches(steps=3)) == []
+
+
 class TestPrefetch:
     def test_yields_all_batches_on_device(self, seq):
         ds = SnippetDataset(seq, batch_size=2)

@@ -19,7 +19,6 @@ import numpy as np
 from davo_tpu.ba.gn import ba_refine
 from davo_tpu.ba.window import build_window_problem
 from davo_tpu.config import BAConfig, Config, TrainConfig
-from davo_tpu.data.snippets import SnippetDataset
 from davo_tpu.data.synthetic import SyntheticSequence
 from davo_tpu.eval.runner import (
     assemble_trajectory,
@@ -48,10 +47,15 @@ cfg = Config(
 )
 
 H, W = cfg.model.img_height, cfg.model.img_width
-train_seq = SyntheticSequence(n_frames=40, height=H, width=W, seed=1)
-ds = SnippetDataset(
-    train_seq, batch_size=cfg.train.batch_size, with_seg=True, with_gt=True,
-    augment=False, seed=0,
+from davo_tpu.data.snippets import MultiSourceDataset
+
+train_worlds = [
+    SyntheticSequence(n_frames=24, height=H, width=W, seed=s)
+    for s in range(1, 17)  # 16 worlds; eval world seed=99 unseen
+]
+ds = MultiSourceDataset(
+    train_worlds, batch_size=cfg.train.batch_size, with_seg=True,
+    with_gt=True, augment=True, seed=0,
 )
 
 t0 = time.time()
