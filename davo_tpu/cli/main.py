@@ -23,8 +23,6 @@ import sys
 
 
 def _apply_sets(cfg, sets: list[str]):
-    from davo_tpu.config import apply_overrides
-
     overrides = {}
     for item in sets or []:
         key, _, value = item.partition("=")
@@ -72,8 +70,6 @@ def _load_sequence(data: str, seq: str, cfg, with_seg: bool):
 
 
 def cmd_train(args) -> int:
-    import jax
-
     from davo_tpu.data.snippets import SnippetDataset
     from davo_tpu.data.synthetic import SyntheticSequence
     from davo_tpu.models import presets

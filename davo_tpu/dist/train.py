@@ -12,6 +12,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from davo_tpu.config import Config
@@ -59,8 +60,6 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
             state.params, batch
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        import optax
-
         params = optax.apply_updates(state.params, updates)
         return (
             TrainState(params=params, opt_state=opt_state, step=state.step + 1),

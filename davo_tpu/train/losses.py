@@ -120,8 +120,6 @@ def flow_losses(
     for s_i, pyr in enumerate(flow_pyrs):
         src = sources[:, s_i]
         for flow in pyr:
-            h, w = flow.shape[1], flow.shape[2]
-            scale = W / w
             flow_full = FlowNetLite.full_res_flow(flow, H, W)
             warped, valid = flow_warp(src, flow_full)
             l1 = jnp.abs(warped - target)[:, 1:-1, 1:-1]
@@ -130,7 +128,6 @@ def flow_losses(
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1
             total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
             count += 1
-            del scale, h, w
     return total / max(count, 1)
 
 
