@@ -73,3 +73,55 @@ def region_weight_map(
     if (H, W) != (h, w):
         wmap = jax.image.resize(wmap, (B, h, w, 1), method="bilinear")
     return wmap
+
+
+def region_weight_map_ep(
+    weights: jnp.ndarray,
+    seg_onehot: jnp.ndarray,
+    hw: tuple[int, int],
+    mesh,
+    axis: str = "model",
+):
+    """Expert-parallel region fusion (SURVEY.md §2.2 P5).
+
+    The 19 semantic-region branches are the natural expert axis: each
+    device owns a contiguous region chunk, computes its partial
+    weight-map contribution sum_k a_k * onehot_k, and a psum over the
+    region axis fuses them. Semantically identical to
+    `region_weight_map` (tests pin equality); the K axis is padded to
+    the axis size.
+    """
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    B, H, W, K = seg_onehot.shape
+    h, w = hw
+    n = mesh.shape[axis]
+    pad = (-K) % n
+    if pad:
+        seg_onehot = jnp.pad(seg_onehot, ((0, 0),) * 3 + ((0, pad),))
+        weights = jnp.pad(weights, ((0, 0), (0, pad)))
+    seg_onehot = jax.device_put(
+        seg_onehot, NamedSharding(mesh, P(None, None, None, axis))
+    )
+    weights = jax.device_put(weights, NamedSharding(mesh, P(None, axis)))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, None, None, axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def fuse(w_local, oh_local):
+        partial_map = jnp.einsum("bhwk,bk->bhw", oh_local, w_local)
+        return jax.lax.psum(partial_map, axis)
+
+    wmap = fuse(weights, seg_onehot)[..., None]
+    if (H, W) != (h, w) and H % h == 0 and W % w == 0:
+        win = (1, H // h, W // w, 1)
+        wmap = jax.lax.reduce_window(
+            wmap, 0.0, jax.lax.add, win, win, "VALID"
+        ) / float(win[1] * win[2])
+    return wmap

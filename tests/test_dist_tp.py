@@ -97,3 +97,22 @@ class TestTPRules:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=3e-5
             )
+
+
+class TestExpertParallelAttention:
+    def test_matches_unsharded(self, rng):
+        from davo_tpu.models.attention import (
+            region_weight_map,
+            region_weight_map_ep,
+            seg_to_onehot,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        seg = jnp.asarray(rng.integers(0, 19, (2, 16, 16)), jnp.int32)
+        oh = seg_to_onehot(seg, 19)
+        w = jnp.asarray(rng.uniform(0.5, 1.5, (2, 19)), jnp.float32)
+        want = region_weight_map(w, oh, (4, 4))
+        got = region_weight_map_ep(w, oh, (4, 4), mesh)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
