@@ -102,3 +102,45 @@ class TestATE:
         pred[:, 0, 3] += np.sin(np.arange(20))  # wobble
         mean2, _ = snippet_ate(gt, pred)
         assert mean2 > 0.01
+
+
+class TestQuaternionsAndTUM:
+    def test_quat_matches_scipy(self, rng):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation as R
+
+        from davo_tpu.core import geometry as geo
+
+        rotvecs = rng.normal(size=(32, 3)) * 1.5
+        mats = R.from_rotvec(rotvecs).as_matrix()
+        ours = np.asarray(geo.mat_to_quat(jnp.asarray(mats, jnp.float32)))
+        theirs = R.from_matrix(mats).as_quat()  # [x, y, z, w]
+        # Quaternions are sign-ambiguous; align signs before comparing.
+        sign = np.sign((ours * theirs).sum(-1, keepdims=True))
+        np.testing.assert_allclose(ours * sign, theirs, atol=2e-3)
+
+    def test_quat_roundtrip(self, rng):
+        import jax.numpy as jnp
+
+        from davo_tpu.core import geometry as geo
+
+        w = jnp.asarray(rng.normal(size=(16, 3)) * 1.2, jnp.float32)
+        rot = geo.so3_exp(w)
+        back = geo.quat_to_mat(geo.mat_to_quat(rot))
+        np.testing.assert_allclose(
+            np.asarray(back), np.asarray(rot), atol=1e-5
+        )
+
+    def test_tum_roundtrip(self, rng):
+        import jax.numpy as jnp
+
+        from davo_tpu.core import geometry as geo
+        from davo_tpu.eval.tum import format_poses_tum, parse_poses_tum
+
+        rel = geo.se3_exp(jnp.asarray(rng.normal(size=(8, 6)) * 0.2, jnp.float32))
+        poses = np.asarray(geo.trajectory_from_relatives(rel), np.float64)
+        times = np.arange(len(poses)) * 0.1
+        text = format_poses_tum(poses, times)
+        t2, p2 = parse_poses_tum(text)
+        np.testing.assert_allclose(t2, times, atol=1e-6)
+        np.testing.assert_allclose(p2, poses, atol=1e-5)
