@@ -315,10 +315,13 @@ def mat_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
     """
     m00, m11, m22 = rot[..., 0, 0], rot[..., 1, 1], rot[..., 2, 2]
     tr = m00 + m11 + m22
-    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 0.0) + _EPS)
-    qx = 0.5 * jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0) + _EPS)
-    qy = 0.5 * jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0) + _EPS)
-    qz = 0.5 * jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0) + _EPS)
+    # No eps under the sqrt: it biases near-zero components by sqrt(eps)
+    # (~1e-4). IO/eval path — gradients at exact component zeros are
+    # not required here.
+    qw = 0.5 * jnp.sqrt(jnp.maximum(1.0 + tr, 0.0))
+    qx = 0.5 * jnp.sqrt(jnp.maximum(1.0 + m00 - m11 - m22, 0.0))
+    qy = 0.5 * jnp.sqrt(jnp.maximum(1.0 - m00 + m11 - m22, 0.0))
+    qz = 0.5 * jnp.sqrt(jnp.maximum(1.0 - m00 - m11 + m22, 0.0))
     # Off-diagonal sums/differences fix the signs relative to qw >= 0.
     qx = jnp.copysign(qx, rot[..., 2, 1] - rot[..., 1, 2])
     qy = jnp.copysign(qy, rot[..., 0, 2] - rot[..., 2, 0])
