@@ -179,6 +179,10 @@ def cmd_infer(args) -> int:
     )
     traj = assemble_trajectory(rels)
     write_poses_kitti(args.out, traj)
+    if args.tum:
+        from davo_tpu.eval.tum import write_poses_tum
+
+        write_poses_tum(args.tum, traj)
     print(f"wrote {len(traj)} poses to {args.out}")
     return 0
 
@@ -349,6 +353,7 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--seq", default="09")
     i.add_argument("--ckpt", default=None)
     i.add_argument("--out", required=True)
+    i.add_argument("--tum", default=None, help="also write TUM-format file")
     i.add_argument("--batch-size", type=int, default=32)
     i.add_argument("--set", action="append")
     i.set_defaults(fn=cmd_infer)
