@@ -137,3 +137,36 @@ class TestCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         report = json.loads(r.stdout)
         assert "ate_full" in report and np.isfinite(report["ate_full"])
+
+        # depth maps from the same checkpoint
+        depth_dir = str(tmp_path / "depth")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "davo_tpu.cli.main", "depth",
+                "--version", "tiny", "--data", "synthetic", "--seq", "0",
+                "--ckpt", ckpt, "--out", depth_dir, "--batch-size", "8",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        maps = sorted(os.listdir(depth_dir))
+        assert len(maps) == 31  # 32 frames -> 31 pair targets
+        d = np.load(os.path.join(depth_dir, maps[0]))
+        assert d.shape == (48, 64) and np.all(d > 0)
+
+        # BA refinement of the predicted trajectory
+        refined = str(tmp_path / "refined.txt")
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "davo_tpu.cli.main", "ba",
+                "--version", "tiny", "--data", "synthetic", "--seq", "0",
+                "--pred", out, "--out", refined, "--window", "6",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        from davo_tpu.data.kitti import parse_poses
+
+        with open(refined) as f:
+            rp = parse_poses(f.read())
+        assert rp.shape == (32, 4, 4)
