@@ -52,6 +52,33 @@ class TestStreamingEval:
         got = poses[: n_pairs + 1]
         np.testing.assert_allclose(got, want, atol=2e-4)
 
+    @pytest.mark.slow
+    def test_long_sequence(self):
+        """KITTI-seq-00-scale capability check: a 1,025-frame sequence
+        (1,024 pairs = 128/chip on 8 devices) streams through one
+        sharded program; trajectory length and finiteness pinned."""
+        seq = SyntheticSequence(
+            n_frames=1025, height=32, width=32, seed=12,
+            forward_speed=0.05, jitter=0.005,  # stay on the plane
+        )
+        frames = np.stack([seq.frame(i) for i in range(len(seq))])
+        cfg = Config(model=TINY, train=TrainConfig(batch_size=4))
+        sample = {
+            "target": frames[:4],
+            "sources": frames[:4][:, None],
+            "K": np.eye(3, dtype=np.float32)[None].repeat(4, 0),
+        }
+        model, state, _ = create_state(cfg, jax.random.key(0), sample)
+        mesh = make_mesh()
+        stream = make_streaming_eval(model, state.params, mesh)
+        poses, vecs = stream(frames)
+        assert poses.shape == (1025, 4, 4)
+        assert vecs.shape == (1024, 6)
+        assert np.all(np.isfinite(poses))
+        # Rotations stay orthonormal through 1k compositions (f32 scan).
+        R = poses[-1, :3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-4)
+
     def test_pad_pairs(self):
         frames = np.zeros((18, 4, 4, 3), np.float32)
         padded, n = pad_pairs(frames, 8)
