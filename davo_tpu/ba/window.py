@@ -17,6 +17,20 @@ from davo_tpu.ba.gn import BAProblem, ba_refine
 from davo_tpu.core import geometry as geo
 
 
+def window_starts(n_frames: int, window_size: int, stride: int) -> list[int]:
+    """Start indices covering [0, n_frames) with sliding windows.
+
+    The stride loop alone can stop short of the tail (len=10, M=5,
+    stride=2 -> last start 4, frame 9 never refined); a final window
+    clamped to end at n_frames guarantees full coverage.
+    """
+    starts = list(range(0, max(n_frames - window_size + 1, 1), stride))
+    last = max(n_frames - window_size, 0)
+    if starts[-1] != last:
+        starts.append(last)
+    return starts
+
+
 def sample_grid_landmarks(
     depth: np.ndarray, K: np.ndarray, pose_wc: np.ndarray, step: int = 8
 ) -> np.ndarray:
@@ -128,7 +142,7 @@ class SlidingWindowBA:
         M = self.cfg.window_size
         out = poses_wc.copy()
         stride = max(M // 2, 1)
-        for start in range(0, max(len(out) - M + 1, 1), stride):
+        for start in window_starts(len(out), M, stride):
             end = min(start + M, len(out))
             if end - start < 3:
                 break

@@ -23,27 +23,13 @@ import sys
 
 
 def _apply_sets(cfg, sets: list[str]):
+    from davo_tpu.config import apply_overrides
+
     overrides = {}
     for item in sets or []:
         key, _, value = item.partition("=")
         overrides[key] = value
-    # frozen dataclasses: rebuild via nested replace
-    for path, value in overrides.items():
-        parts = path.split(".")
-        node_path = []
-        node = cfg
-        for p in parts[:-1]:
-            node_path.append((node, p))
-            node = getattr(node, p)
-        leaf = parts[-1]
-        current = getattr(node, leaf)
-        if current is not None and not isinstance(current, str):
-            value = type(current)(value) if not isinstance(current, bool) else value in ("1", "true", "True")
-        node = dataclasses.replace(node, **{leaf: value})
-        for parent, name in reversed(node_path):
-            node = dataclasses.replace(parent, **{name: node})
-        cfg = node
-    return cfg
+    return apply_overrides(cfg, overrides)
 
 
 def _load_sequence(data: str, seq: str, cfg, with_seg: bool):

@@ -78,16 +78,41 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+def _coerce(value: Any, current: Any) -> Any:
+    """Coerce `value` (often a CLI string) to `current`'s type."""
+    if current is None or isinstance(value, type(current)):
+        return value
+    if isinstance(current, bool):
+        return str(value).lower() in ("1", "true", "yes")
+    if isinstance(current, tuple):
+        parts = value.split(",") if isinstance(value, str) else tuple(value)
+        elem = type(current[0]) if current else str
+        return tuple(elem(p) for p in parts)
+    return type(current)(value)
+
+
+def _replace_path(node: Any, parts: list[str], value: Any) -> Any:
+    if len(parts) == 1:
+        return dataclasses.replace(node, **{parts[0]: value})
+    child = getattr(node, parts[0])
+    return dataclasses.replace(
+        node, **{parts[0]: _replace_path(child, parts[1:], value)}
+    )
+
+
 def apply_overrides(cfg: Config, overrides: dict[str, Any]) -> Config:
-    """Apply dotted-path overrides, e.g. {"model.attention": "none"}."""
+    """Apply dotted-path overrides, e.g. {"model.attention": "none"}.
+
+    Returns a NEW Config built via nested `dataclasses.replace` — the
+    input (and any shared preset instance) is never mutated. Values are
+    coerced to the current field's type ("true"/"1" -> bool,
+    "a,b,c" -> tuple).
+    """
     for path, value in overrides.items():
         parts = path.split(".")
         node = cfg
         for p in parts[:-1]:
             node = getattr(node, p)
-        leaf = parts[-1]
-        current = getattr(node, leaf)
-        if current is not None and not isinstance(value, type(current)):
-            value = type(current)(value)
-        object.__setattr__(node, leaf, value)
+        current = getattr(node, parts[-1])
+        cfg = _replace_path(cfg, parts, _coerce(value, current))
     return cfg

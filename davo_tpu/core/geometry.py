@@ -216,12 +216,22 @@ def so3_log(rot: jnp.ndarray) -> jnp.ndarray:
     axis_sq = jnp.maximum((diag + 1.0) * 0.5, 0.0)
     axis = jnp.sqrt(axis_sq + _EPS)
     # Fix signs using off-diagonal sums (a_i a_j = (R_ij + R_ji)/4 near pi).
+    # Shepperd-style: the reference component (taken positive) must be the
+    # LARGEST one — anchoring on x unconditionally breaks when axis_x ~ 0
+    # (then s_xy, s_xz ~ 0 carry no sign information and e.g. a pi-rotation
+    # about [0, 1, -1]/sqrt(2) comes back as a wholly wrong rotation).
+    # Global sign is immaterial this close to pi (w and -w at theta=pi are
+    # the same rotation); only the relative signs matter.
     s_xy = rot[..., 0, 1] + rot[..., 1, 0]
     s_xz = rot[..., 0, 2] + rot[..., 2, 0]
-    # Pick the largest axis component as reference positive sign.
-    sign_y = jnp.where(s_xy >= 0, 1.0, -1.0)
-    sign_z = jnp.where(s_xz >= 0, 1.0, -1.0)
-    axis = axis * jnp.stack([jnp.ones_like(sign_y), sign_y, sign_z], axis=-1)
+    s_yz = rot[..., 1, 2] + rot[..., 2, 1]
+    sgn = lambda x: jnp.where(x >= 0, 1.0, -1.0)
+    ax, ay, az = axis[..., 0], axis[..., 1], axis[..., 2]
+    cand_x = jnp.stack([ax, sgn(s_xy) * ay, sgn(s_xz) * az], axis=-1)
+    cand_y = jnp.stack([sgn(s_xy) * ax, ay, sgn(s_yz) * az], axis=-1)
+    cand_z = jnp.stack([sgn(s_xz) * ax, sgn(s_yz) * ay, az], axis=-1)
+    ref = jnp.argmax(axis_sq, axis=-1)[..., None]
+    axis = jnp.where(ref == 0, cand_x, jnp.where(ref == 1, cand_y, cand_z))
     axis = axis / (jnp.linalg.norm(axis, axis=-1, keepdims=True) + _EPS)
     w_near_pi = axis * theta[..., None]
     near_pi = (jnp.pi - theta)[..., None] < 1e-4

@@ -128,7 +128,12 @@ class FlowNetLite(nn.Module):
 
     @staticmethod
     def full_res_flow(flow: jnp.ndarray, height: int, width: int) -> jnp.ndarray:
-        """Upsample a /k-level flow to full resolution (values rescaled)."""
-        _, _, w, _ = flow.shape
-        scale = width / w
+        """Upsample a /k-level flow to full resolution (values rescaled).
+
+        du and dv scale independently (width/w and height/h): the ratios
+        differ whenever a pyramid level's stride does not divide the input
+        evenly, and a shared factor would mis-scale dv.
+        """
+        _, h, w, _ = flow.shape
+        scale = jnp.asarray([width / w, height / h], flow.dtype)
         return resize_bilinear_aligned(flow, height, width) * scale

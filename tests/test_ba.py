@@ -236,6 +236,21 @@ class TestPoseGraph:
 
 
 class TestSlidingWindow:
+    def test_window_starts_cover_tail(self):
+        from davo_tpu.ba.window import window_starts
+
+        # Regression: len=10, M=5, stride=2 stopped at start=4 (frame 9
+        # never refined); a clamped final window must cover the end.
+        assert window_starts(10, 5, 2) == [0, 2, 4, 5]
+        assert window_starts(10, 5, 5) == [0, 5]
+        assert window_starts(11, 5, 2) == [0, 2, 4, 6]
+        assert window_starts(4, 6, 3) == [0]
+        for n in range(3, 30):
+            for m in (4, 5, 6):
+                starts = window_starts(n, m, max(m // 2, 1))
+                assert min(starts) == 0
+                assert max(starts) + m >= n
+
     def test_refines_perturbed_trajectory(self, rng):
         """Windows over a synthetic sequence: BA pulls noisy poses back."""
         from davo_tpu.data.synthetic import SyntheticSequence

@@ -163,6 +163,31 @@ class TestSnippets:
             snip["gt_pose"][1], seq.warp_pose(t, t + 1), atol=1e-6
         )
 
+    def test_warp_pose_fallback_matches_direct(self, seq):
+        """The gt_rel-composition fallback (used by KittiAdapter, which
+        has no warp_pose) must agree with SyntheticSequence.warp_pose in
+        BOTH directions (regression: past sources came back inverted)."""
+
+        class _NoWarpPose:
+            def __init__(self, inner):
+                self._inner = inner
+                self.K = inner.K
+
+            def __len__(self):
+                return len(self._inner)
+
+            def frame(self, i):
+                return self._inner.frame(i)
+
+            def gt_rel(self, i):
+                return self._inner.gt_rel(i)
+
+        ds = SnippetDataset(_NoWarpPose(seq), batch_size=1, with_gt=True)
+        for t, s in [(2, 1), (2, 3), (3, 1), (1, 3)]:
+            np.testing.assert_allclose(
+                ds._warp_pose(t, s), seq.warp_pose(t, s), atol=1e-5
+            )
+
     def test_gt_pose_warps_correctly(self, seq):
         """End-to-end: batch gt_pose reconstructs the target from sources."""
         ds = SnippetDataset(seq, batch_size=1, with_gt=True)

@@ -63,6 +63,28 @@ class TestSO3:
             R.from_rotvec(back).as_matrix(), rot, atol=1e-3
         )
 
+    def test_log_near_pi_degenerate_axes(self):
+        """Axes with a ~zero x component: the sign-recovery branch must
+        not anchor on axis_x (regression: pi about [0,1,-1]/sqrt(2)
+        round-tripped to a wholly wrong rotation)."""
+        axes = np.array(
+            [
+                [0.0, 1.0, -1.0],
+                [0.0, 1.0, 1.0],
+                [0.0, 0.0, 1.0],
+                [0.0, 1.0, 0.0],
+                [1e-3, 0.7, -0.7],
+                [-1e-3, -0.6, 0.8],
+            ]
+        )
+        axes /= np.linalg.norm(axes, axis=-1, keepdims=True)
+        w = axes * (np.pi - 1e-5)
+        rot = R.from_rotvec(w).as_matrix()
+        back = np.asarray(geo.so3_log(jnp.asarray(rot)))
+        np.testing.assert_allclose(
+            R.from_rotvec(back).as_matrix(), rot, atol=1e-3
+        )
+
     def test_hat_vee(self, rng):
         w = rng.normal(size=(8, 3))
         np.testing.assert_allclose(

@@ -120,6 +120,14 @@ class TestFlowNet:
         full = FlowNetLite.full_res_flow(flows[0], 64, 96)
         assert full.shape == (2, 64, 96, 2)
 
+    def test_full_res_flow_scales_per_component(self):
+        """du scales by width/w, dv by height/h — distinct when the
+        level ratios differ (regression: shared width factor)."""
+        flow = jnp.ones((1, 10, 20, 2))  # upsample to 40x80: x4 h, x4 w
+        full = FlowNetLite.full_res_flow(flow, 30, 80)  # x3 h, x4 w
+        np.testing.assert_allclose(np.asarray(full[..., 0]), 4.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(full[..., 1]), 3.0, atol=1e-5)
+
 
 class TestAttention:
     def test_weights_normalized(self, batch):
