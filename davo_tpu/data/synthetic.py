@@ -24,6 +24,13 @@ from scipy.ndimage import gaussian_filter, map_coordinates
 
 NUM_SEG_CLASSES = 19
 
+# Cityscapes train-id convention: classes 11..18 are the dynamic ones
+# (person, rider, car, truck, bus, train, motorcycle, bicycle). Dynamic
+# billboards draw labels from this set; when a sequence has dynamic
+# objects its static background is restricted to labels < 11 so
+# `seg >= DYNAMIC_LABEL_START` is an exact dynamic-region mask.
+DYNAMIC_LABEL_START = 11
+
 
 def _se3_exp_np(xi: np.ndarray) -> np.ndarray:
     """Minimal numpy se3 exp (float64) for pose generation."""
@@ -62,6 +69,8 @@ class SyntheticSequence:
         rot_jitter: float = 0.004,
         texture_res: int = 1024,
         texture_extent: float = 120.0,
+        n_dynamic: int = 0,
+        dynamic_speed: float = 0.5,
     ):
         self.n_frames = n_frames
         self.height = height
@@ -94,7 +103,10 @@ class SyntheticSequence:
         # far above the pixel footprint.
         n_cells = 64
         cell_xy = rng.uniform(0, texture_res, (n_cells, 2)).astype(np.float32)
-        cell_label = rng.integers(0, NUM_SEG_CLASSES, n_cells)
+        # With dynamic objects present, background labels stay in the
+        # static range so seg >= DYNAMIC_LABEL_START is an exact mask.
+        bg_hi = DYNAMIC_LABEL_START if n_dynamic > 0 else NUM_SEG_CLASSES
+        cell_label = rng.integers(0, bg_hi, n_cells)
         yy, xx = np.meshgrid(
             np.arange(texture_res, dtype=np.float32),
             np.arange(texture_res, dtype=np.float32),
@@ -127,6 +139,53 @@ class SyntheticSequence:
             )
             poses.append(poses[-1] @ _se3_exp_np(xi))
         self.poses = np.stack(poses)  # (N, 4, 4) cam-to-world
+
+        # Independently-moving textured billboards (the dynamic scene
+        # content the paper's attention is FOR). Fronto-parallel rects
+        # at fixed z between the camera path and the background plane,
+        # constant world velocity, exact GT depth/seg/flow via depth
+        # compositing. Drawn AFTER every static-world RNG draw so
+        # n_dynamic=0 sequences are bit-identical to r1.
+        self.objects: list[dict] = []
+        if n_dynamic:
+            cam_end_z = float(self.poses[:, 2, 3].max()) + 1.0
+            for _ in range(n_dynamic):
+                z = rng.uniform(
+                    cam_end_z + 0.35 * (plane_z - cam_end_z),
+                    cam_end_z + 0.85 * (plane_z - cam_end_z),
+                )
+                w_obj = rng.uniform(0.18, 0.30) * z
+                h_obj = 0.75 * w_obj
+                half_w = z * (width / 2) / self.K[0, 0]
+                half_h = z * (height / 2) / self.K[1, 1]
+                center = np.array(
+                    [
+                        rng.uniform(-0.55, 0.55) * half_w,
+                        rng.uniform(-0.55, 0.55) * half_h,
+                    ]
+                )
+                ang = rng.uniform(0, 2 * np.pi)
+                vel = dynamic_speed * np.array(
+                    [np.cos(ang), 0.35 * np.sin(ang)]
+                )
+                label = int(
+                    rng.integers(DYNAMIC_LABEL_START, NUM_SEG_CLASSES)
+                )
+                otex = np.zeros((64, 64, 3), np.float32)
+                for octave, sigma in ((1.0, 8.0), (0.6, 3.0)):
+                    layer = rng.uniform(0, 1, (64, 64, 3)).astype(
+                        np.float32
+                    )
+                    for c in range(3):
+                        layer[..., c] = gaussian_filter(layer[..., c], sigma)
+                    layer -= layer.min()
+                    layer /= layer.max() + 1e-6
+                    otex += octave * layer
+                otex /= otex.max()
+                self.objects.append(
+                    dict(z=z, w=w_obj, h=h_obj, center=center, vel=vel,
+                         label=label, tex=otex)
+                )
 
     # ------------------------------------------------------------------
     def __len__(self) -> int:
@@ -169,9 +228,50 @@ class SyntheticSequence:
         ty = (py + half) / self.texture_extent * (res - 1)
         return np.stack([ty, tx])
 
+    def _object_center(self, obj: dict, i: int) -> np.ndarray:
+        return obj["center"] + obj["vel"] * i
+
+    def _surfaces(self, i: int):
+        """Per-pixel nearest surface of frame i via depth compositing.
+
+        Returns (surf, depth, px, py, lx, ly): surf is -1 for the
+        background plane or the index into `self.objects`; (px, py) are
+        background-plane world hits; (lx, ly) are in-object normalized
+        coords [0, 1] where surf >= 0.
+        """
+        C = self.poses[i]
+        rays = self._rays()
+        d_w = np.einsum("ij,jhw->ihw", C[:3, :3], rays)
+        o = C[:3, 3]
+        t_bg = (self.plane_z - o[2]) / d_w[2]
+        px = o[0] + t_bg * d_w[0]
+        py = o[1] + t_bg * d_w[1]
+        depth = t_bg.copy()
+        surf = np.full(depth.shape, -1, np.int32)
+        lx_all = np.zeros_like(depth)
+        ly_all = np.zeros_like(depth)
+        for k, obj in enumerate(self.objects):
+            t_k = (obj["z"] - o[2]) / d_w[2]
+            hx = o[0] + t_k * d_w[0]
+            hy = o[1] + t_k * d_w[1]
+            cx, cy = self._object_center(obj, i)
+            lx = (hx - cx) / obj["w"] + 0.5
+            ly = (hy - cy) / obj["h"] + 0.5
+            inside = (
+                (t_k > 0.1)
+                & (lx >= 0) & (lx <= 1)
+                & (ly >= 0) & (ly <= 1)
+                & (t_k < depth)
+            )
+            depth[inside] = t_k[inside]
+            surf[inside] = k
+            lx_all[inside] = lx[inside]
+            ly_all[inside] = ly[inside]
+        return surf, depth, px, py, lx_all, ly_all
+
     def frame(self, i: int) -> np.ndarray:
         """(H, W, 3) float32 image in [0, 1]."""
-        px, py, _ = self._plane_hits(i)
+        surf, _, px, py, lx, ly = self._surfaces(i)
         coords = self._tex_coords(px, py)
         out = np.stack(
             [
@@ -180,25 +280,61 @@ class SyntheticSequence:
             ],
             axis=-1,
         )
+        for k, obj in enumerate(self.objects):
+            m = surf == k
+            if not m.any():
+                continue
+            res = obj["tex"].shape[0]
+            oc = np.stack([ly[m] * (res - 1), lx[m] * (res - 1)])
+            for c in range(3):
+                out[..., c][m] = map_coordinates(
+                    obj["tex"][..., c], oc, order=1, mode="nearest"
+                )
         return out.astype(np.float32)
 
     def depth(self, i: int) -> np.ndarray:
-        """(H, W) float32 camera-frame depth of frame i."""
-        _, _, t = self._plane_hits(i)
-        return t.astype(np.float32)
+        """(H, W) float32 camera-frame depth of frame i (composited)."""
+        _, depth, *_ = self._surfaces(i)
+        return depth.astype(np.float32)
 
     def seg(self, i: int) -> np.ndarray:
         """(H, W) int32 labels in [0, NUM_SEG_CLASSES)."""
-        px, py, _ = self._plane_hits(i)
+        surf, _, px, py, _, _ = self._surfaces(i)
         coords = self._tex_coords(px, py)
-        return map_coordinates(
+        out = map_coordinates(
             self.seg_texture, coords, order=0, mode="nearest"
         ).astype(np.int32)
+        for k, obj in enumerate(self.objects):
+            out[surf == k] = obj["label"]
+        return out
+
+    def dynamic_mask(self, i: int) -> np.ndarray:
+        """(H, W) bool: pixels on independently-moving objects."""
+        return self.seg(i) >= DYNAMIC_LABEL_START if self.objects else (
+            np.zeros((self.height, self.width), bool)
+        )
 
     def gt_flow(self, i: int, j: int) -> np.ndarray:
-        """(H, W, 2) exact optical flow from frame i to frame j (du, dv)."""
-        px, py, t = self._plane_hits(i)
-        p_w = np.stack([px, py, np.full_like(px, self.plane_z)], 0)
+        """(H, W, 2) exact optical flow from frame i to frame j (du, dv).
+
+        Dynamic-object pixels carry the object's own world motion on
+        top of ego-motion — the flow is of the SCENE, not of the
+        camera, which is exactly the cue the attention net consumes.
+        """
+        surf, _, px, py, lx, ly = self._surfaces(i)
+        pxj = px.copy()
+        pyj = py.copy()
+        pz = np.full_like(px, self.plane_z)
+        for k, obj in enumerate(self.objects):
+            m = surf == k
+            if not m.any():
+                continue
+            cx_i, cy_i = self._object_center(obj, i)
+            disp = obj["vel"] * (j - i)
+            pxj[m] = cx_i + (lx[m] - 0.5) * obj["w"] + disp[0]
+            pyj[m] = cy_i + (ly[m] - 0.5) * obj["h"] + disp[1]
+            pz[m] = obj["z"]
+        p_w = np.stack([pxj, pyj, pz], 0)
         Cj_inv = np.linalg.inv(self.poses[j])
         p_c = np.einsum("ij,jhw->ihw", Cj_inv[:3, :3], p_w) + Cj_inv[:3, 3][:, None, None]
         proj = np.einsum("ij,jhw->ihw", self.K, p_c)

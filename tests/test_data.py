@@ -137,6 +137,79 @@ class TestKittiIO:
         assert K[0, 0] == pytest.approx(718.856 * 32 / 64)
 
 
+class TestDynamicWorld:
+    """Dynamic-object billboards: exact GT compositing (SURVEY R6 —
+    the attention mechanism needs scenes where photometric ego-motion
+    is actually violated)."""
+
+    @pytest.fixture(scope="class")
+    def dyn(self):
+        return SyntheticSequence(
+            n_frames=6, height=48, width=64, seed=3, n_dynamic=3,
+            dynamic_speed=0.6,
+        )
+
+    @pytest.fixture(scope="class")
+    def static_twin(self):
+        # Identical RNG stream for the static world (objects draw last).
+        return SyntheticSequence(n_frames=6, height=48, width=64, seed=3)
+
+    def test_static_world_unchanged(self, dyn, static_twin):
+        """Poses/background texture identical to the static twin; the
+        n_dynamic knob must not perturb existing GT fixtures."""
+        np.testing.assert_array_equal(dyn.poses, static_twin.poses)
+        mask = dyn.dynamic_mask(0)
+        frame_d, frame_s = dyn.frame(0), static_twin.frame(0)
+        np.testing.assert_array_equal(frame_d[~mask], frame_s[~mask])
+        assert np.abs(frame_d[mask] - frame_s[mask]).mean() > 0.01
+
+    def test_mask_coverage_and_labels(self, dyn):
+        from davo_tpu.data.synthetic import DYNAMIC_LABEL_START
+
+        masks = [dyn.dynamic_mask(i) for i in range(len(dyn))]
+        frac = np.mean([m.mean() for m in masks])
+        assert 0.03 < frac < 0.6, frac
+        seg = dyn.seg(0)
+        assert seg[masks[0]].min() >= DYNAMIC_LABEL_START
+        assert seg[~masks[0]].max() < DYNAMIC_LABEL_START
+
+    def test_depth_composited(self, dyn):
+        mask = dyn.dynamic_mask(1)
+        d = dyn.depth(1)
+        assert d[mask].max() < dyn.plane_z
+        assert d.min() > 0
+
+    def test_flow_carries_object_motion(self, dyn, static_twin):
+        """gt_flow == ego flow off-mask; differs on moving objects."""
+        flow_d = dyn.gt_flow(1, 2)
+        flow_ego = static_twin.gt_flow(1, 2)
+        m1 = dyn.dynamic_mask(1)
+        np.testing.assert_allclose(
+            flow_d[~m1], flow_ego[~m1], atol=1e-4
+        )
+        diff = np.linalg.norm(flow_d[m1] - flow_ego[m1], axis=-1)
+        # objects move ~0.6 world units/frame at z<plane_z: >=0.5px flow
+        assert np.median(diff) > 0.5
+
+    def test_photometric_violation_on_objects(self, dyn):
+        """Ego-pose + composite-depth warping reconstructs the static
+        background but NOT the moving objects — the failure mode the
+        region attention exists to mask out."""
+        t, s = 2, 1
+        tgt = jnp.asarray(dyn.frame(t))[None]
+        src = jnp.asarray(dyn.frame(s))[None]
+        depth = jnp.asarray(dyn.depth(t))[None]
+        pose = jnp.asarray(dyn.warp_pose(t, s), jnp.float32)[None]
+        K = jnp.asarray(dyn.K, jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        err = np.abs(np.asarray(recon - tgt)).mean(-1) * np.asarray(valid).reshape(1, 48, 64)
+        m = dyn.dynamic_mask(t) | dyn.dynamic_mask(s)
+        err_dyn = err[0][m].mean()
+        err_static = err[0][~m].mean()
+        assert err_static < 0.02
+        assert err_dyn > 3 * err_static
+
+
 class TestSnippets:
     def test_indices(self):
         assert snippet_indices(6, 3) == [1, 2, 3, 4]
