@@ -34,10 +34,44 @@ def _resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
 
 DISP_SCALING = 10.0
 MIN_DISP = 0.01
+MIN_DEPTH = 0.5
+MAX_DEPTH = 100.0
 
 
-def disp_to_depth(disp: jnp.ndarray) -> jnp.ndarray:
-    """Sigmoid disparity in (0,1) -> depth (reference convention)."""
+def disp_to_depth(
+    disp: jnp.ndarray,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+) -> jnp.ndarray:
+    """Sigmoid disparity in (0,1) -> depth, log-space parametrization:
+
+        depth = min_depth * (max_depth / min_depth)^disp
+
+    The reference convention (`disp_to_depth_ref`, SfMLearner lineage)
+    is linear in INVERSE depth, so depths beyond ~10 m live in the
+    sigmoid's saturated tail (60 m needs sigmoid ~ 7e-4, pre-activation
+    -7.3) — measured r1: the head pinned at the 1/MIN_DISP=100 m cap
+    and photometric gradients vanished (depth_med=100 vs GT 60). In
+    log space d(depth)/d(logit) ~ depth: every relative depth change
+    is equally trainable across [min_depth, max_depth], and the
+    sigmoid midpoint sits at the geometric mid-scene (~7 m), not 0.2 m.
+    """
+    return min_depth * jnp.power(max_depth / min_depth, disp)
+
+
+def depth_to_disp(
+    depth: jnp.ndarray,
+    min_depth: float = MIN_DEPTH,
+    max_depth: float = MAX_DEPTH,
+) -> jnp.ndarray:
+    """Inverse of `disp_to_depth` (tests feed GT depth as disparity)."""
+    return jnp.log(depth / min_depth) / jnp.log(max_depth / min_depth)
+
+
+def disp_to_depth_ref(disp: jnp.ndarray) -> jnp.ndarray:
+    """Reference-convention depth (SURVEY.md R5: `<ref>/nets.py`
+    `DISP_SCALING * sigmoid + MIN_DISP`, inverted). Kept for parity
+    documentation; the training path uses the log parametrization."""
     return 1.0 / (DISP_SCALING * disp + MIN_DISP)
 
 

@@ -84,8 +84,44 @@ class TestDispNet:
         assert disps[0].shape == (1, 128, 416, 1)
 
     def test_disp_to_depth_range(self):
-        assert float(disp_to_depth(jnp.array(1.0))) == pytest.approx(1 / 10.01)
-        assert float(disp_to_depth(jnp.array(0.0))) == pytest.approx(100.0)
+        from davo_tpu.models.dispnet import (
+            MAX_DEPTH,
+            MIN_DEPTH,
+            depth_to_disp,
+            disp_to_depth_ref,
+        )
+
+        # Log parametrization: endpoints hit the depth bounds; the
+        # sigmoid midpoint is the geometric mid-scene.
+        assert float(disp_to_depth(jnp.array(0.0))) == pytest.approx(MIN_DEPTH)
+        assert float(disp_to_depth(jnp.array(1.0))) == pytest.approx(MAX_DEPTH)
+        assert float(disp_to_depth(jnp.array(0.5))) == pytest.approx(
+            np.sqrt(MIN_DEPTH * MAX_DEPTH)
+        )
+        # Round-trip and reference-convention endpoints.
+        for d in (0.7, 7.0, 60.0):
+            assert float(
+                disp_to_depth(depth_to_disp(jnp.array(d)))
+            ) == pytest.approx(d, rel=1e-5)
+        assert float(disp_to_depth_ref(jnp.array(0.0))) == pytest.approx(100.0)
+
+    def test_depth_gradient_not_saturated_at_scene_depths(self):
+        """Regression (r1: depth pinned at the 100 m cap): the loss
+        gradient w.r.t. the head pre-activation must stay usable at far
+        scene depths. Reference (inverse-linear) parametrization decays
+        like 1/depth^2; log parametrization is ~depth * const."""
+        from davo_tpu.models.dispnet import depth_to_disp
+
+        def depth_from_logit(x):
+            return disp_to_depth(jax.nn.sigmoid(x))
+
+        for target in (15.0, 60.0, 90.0):
+            x0 = jax.scipy.special.logit(depth_to_disp(jnp.array(target)))
+            g = float(jax.grad(depth_from_logit)(x0))
+            # d(depth)/d(logit) = depth*ln(r)*s*(1-s); worst case (90m)
+            # still > 1m per unit logit — far from the ~1e-3 the
+            # saturated reference head had.
+            assert abs(g) > 1.0, (target, g)
 
 
 class TestFlowNet:

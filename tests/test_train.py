@@ -68,11 +68,11 @@ class TestLosses:
         )[None]
         K = jnp.asarray(seq.K, jnp.float32)[None]
         from davo_tpu.core.geometry import mat_to_pose_vec
-        from davo_tpu.models.dispnet import DISP_SCALING, MIN_DISP
+        from davo_tpu.models.dispnet import depth_to_disp
 
         gt_depth = jnp.asarray(seq.depth(t))[None]
         # Invert disp_to_depth to feed GT depth as "disparity".
-        disp0 = ((1.0 / gt_depth) - MIN_DISP) / DISP_SCALING
+        disp0 = depth_to_disp(gt_depth)
         disps = [disp0[..., None]]
         for s in range(1, 4):
             d = disp0[:, ::2**s, ::2**s]
