@@ -46,6 +46,7 @@ class TrainConfig:
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     checkpoint_every: int = 5_000
     log_every: int = 100
+    image_every: int = 0  # >0: warped/disparity panels every N steps
     seed: int = 0
 
 

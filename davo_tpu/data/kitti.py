@@ -112,6 +112,34 @@ class KittiOdometry:
             img = cv2.resize(img, (width, height), interpolation=cv2.INTER_AREA)
         return img.astype(np.float32) / 255.0
 
+    @property
+    def seg_dir(self) -> str | None:
+        """Directory of precomputed per-frame segmentation label maps
+        (reference parity: DAVO loads offline DeepLab Cityscapes-19
+        labels, `<ref>/data_loader.py`, SURVEY.md R8). Layout:
+        sequences/NN/seg/<frame>.png, uint8 label ids."""
+        d = os.path.join(
+            self.root, "sequences", self.sequence, "seg"
+        )
+        return d if os.path.isdir(d) else None
+
+    def load_seg(
+        self, i: int, height: int | None = None, width: int | None = None
+    ) -> np.ndarray:
+        """Load the frame-i label map as int32 (H, W), nearest-resized."""
+        import cv2
+
+        stem = os.path.splitext(self.frames[i])[0]
+        path = os.path.join(self.seg_dir, stem + ".png")
+        seg = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if seg is None:
+            raise FileNotFoundError(path)
+        if height is not None and width is not None:
+            seg = cv2.resize(
+                seg, (width, height), interpolation=cv2.INTER_NEAREST
+            )
+        return seg.astype(np.int32)
+
     def scaled_intrinsics(self, height: int, width: int, native_hw: tuple[int, int]) -> np.ndarray:
         """K rescaled from native (H, W) to a target resolution."""
         nh, nw = native_hw

@@ -24,6 +24,45 @@ from typing import Iterator
 import numpy as np
 
 
+def apply_scale_crop(
+    frames: list[np.ndarray],
+    seg: "np.ndarray | None",
+    K: np.ndarray,
+    s: float,
+    oy: int,
+    ox: int,
+) -> tuple[list[np.ndarray], "np.ndarray | None", np.ndarray]:
+    """Reference `data_augmentation` (SURVEY.md R9): upscale by `s`,
+    crop back to native size at offset (oy, ox); shared across the
+    snippet; intrinsics follow (focal scaled, principal point shifted
+    by the crop) so GT poses stay valid — scaling + cropping an image
+    is purely an intrinsics change."""
+    import cv2
+
+    H, W = frames[0].shape[:2]
+    nh, nw = int(np.ceil(H * s)), int(np.ceil(W * s))
+    if (nh, nw) == (H, W):
+        return frames, seg, K
+    frames = [
+        cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)[
+            oy : oy + H, ox : ox + W
+        ]
+        for f in frames
+    ]
+    if seg is not None:
+        seg = cv2.resize(
+            seg.astype(np.uint8), (nw, nh),
+            interpolation=cv2.INTER_NEAREST,
+        )[oy : oy + H, ox : ox + W].astype(np.int32)
+    K = K.copy()
+    sx, sy = nw / W, nh / H
+    K[0, 0] *= sx
+    K[1, 1] *= sy
+    K[0, 2] = K[0, 2] * sx - ox
+    K[1, 2] = K[1, 2] * sy - oy
+    return frames, seg, K
+
+
 def snippet_indices(n_frames: int, seq_length: int = 3, stride: int = 1) -> list[int]:
     """Target-frame indices t such that [t-k, t+k] fits in the sequence."""
     k = seq_length // 2
@@ -42,12 +81,20 @@ class KittiAdapter:
 
     def __post_init__(self):
         self.K = self.seq.scaled_intrinsics(self.height, self.width, self.native_hw)
+        # Expose seg(i) only when the sequence ships precomputed label
+        # maps (SnippetDataset keys off hasattr) — instance attribute,
+        # not a class method, so absence is detectable.
+        if getattr(self.seq, "seg_dir", None):
+            self.seg = self._seg
 
     def __len__(self):
         return len(self.seq)
 
     def frame(self, i):
         return self.seq.load_frame(i, self.height, self.width)
+
+    def _seg(self, i):
+        return self.seq.load_seg(i, self.height, self.width)
 
     def gt_rel(self, i):
         gt = self.seq.gt_poses
@@ -105,21 +152,32 @@ class SnippetDataset:
             for img in imgs
         ]
 
+    def _scale_crop(self, frames, seg, K):
+        s = float(self.rng.uniform(1.0, 1.15))
+        H, W = frames[0].shape[:2]
+        nh, nw = int(np.ceil(H * s)), int(np.ceil(W * s))
+        oy = int(self.rng.integers(0, nh - H + 1))
+        ox = int(self.rng.integers(0, nw - W + 1))
+        return apply_scale_crop(frames, seg, K, s, oy, ox)
+
     def snippet(self, t: int) -> dict:
         """One snippet centered at t: target + (seq_length-1) sources."""
         k = self.seq_length // 2
         frames = [self._frame(i) for i in range(t - k, t + k + 1)]
+        K = np.asarray(self.source.K, np.float32)
+        seg = self.source.seg(t).astype(np.int32) if self.with_seg else None
         if self.augment:
             frames = self._color_jitter(frames)
+            frames, seg, K = self._scale_crop(frames, seg, K)
         target = frames[k]
         sources = np.stack(frames[:k] + frames[k + 1 :], 0)
         out = {
             "target": target,
             "sources": sources,
-            "K": np.asarray(self.source.K, np.float32),
+            "K": K,
         }
         if self.with_seg:
-            out["seg"] = self.source.seg(t).astype(np.int32)
+            out["seg"] = seg
         if self.with_gt:
             # Pose of each source relative to target-cam frame: maps
             # target-cam points to source-cam points (warp convention).

@@ -71,30 +71,53 @@ class SyntheticSequence:
         texture_extent: float = 120.0,
         n_dynamic: int = 0,
         dynamic_speed: float = 0.5,
+        trajectory: str = "forward",
+        texture_mode: str = "grid",
+        loop_radius: float | None = None,
     ):
         self.n_frames = n_frames
         self.height = height
         self.width = width
         self.plane_z = plane_z
         self.texture_extent = texture_extent
+        self.texture_mode = texture_mode
         rng = np.random.default_rng(seed)
 
-        # Multi-octave smooth texture in [0, 1], rich enough for
-        # photometric gradients at several scales.
-        # Octave sigmas are chosen >= one pixel footprint on the plane
-        # (z/f world-units/px * res/extent texels/world-unit ~ 9 texels)
-        # so the point-sampled rendering is alias-free and warps are
-        # photometrically reconstructible.
-        tex = np.zeros((texture_res, texture_res, 3), np.float32)
-        for octave, sigma in ((1.0, 48), (0.5, 16), (0.3, 8)):
-            layer = rng.uniform(0, 1, (texture_res, texture_res, 3)).astype(np.float32)
-            for c in range(3):
-                layer[..., c] = gaussian_filter(layer[..., c], sigma)
-            layer -= layer.min()
-            layer /= layer.max() + 1e-6
-            tex += octave * layer
-        tex /= tex.max()
-        self.texture = tex
+        if texture_mode == "grid":
+            # Multi-octave smooth texture in [0, 1], rich enough for
+            # photometric gradients at several scales.
+            # Octave sigmas are chosen >= one pixel footprint on the plane
+            # (z/f world-units/px * res/extent texels/world-unit ~ 9 texels)
+            # so the point-sampled rendering is alias-free and warps are
+            # photometrically reconstructible.
+            tex = np.zeros((texture_res, texture_res, 3), np.float32)
+            for octave, sigma in ((1.0, 48), (0.5, 16), (0.3, 8)):
+                layer = rng.uniform(0, 1, (texture_res, texture_res, 3)).astype(np.float32)
+                for c in range(3):
+                    layer[..., c] = gaussian_filter(layer[..., c], sigma)
+                layer -= layer.min()
+                layer /= layer.max() + 1e-6
+                tex += octave * layer
+            tex /= tex.max()
+            self.texture = tex
+        else:
+            # Procedural sinusoid-field texture: infinite extent (no
+            # stored grid), C-inf smooth, alias-controlled by capping
+            # the min wavelength at ~3 world units (> 2x the ~1 wu/px
+            # footprint at plane_z=60). Enables KITTI-scale (>=900 m)
+            # trajectories that a finite texture grid cannot cover.
+            assert texture_mode == "procedural", texture_mode
+            n_comp = 32
+            lam = np.exp(rng.uniform(np.log(3.0), np.log(60.0), n_comp))
+            k = 2 * np.pi / lam
+            ang = rng.uniform(0, 2 * np.pi, n_comp)
+            self._proc_k = np.stack(
+                [k * np.cos(ang), k * np.sin(ang)], -1
+            )  # (n_comp, 2)
+            self._proc_phase = rng.uniform(0, 2 * np.pi, (n_comp, 3))
+            amp = np.sqrt(lam)
+            self._proc_amp = (amp / amp.sum()).astype(np.float64)
+            self.texture = None
 
         # Static world "semantic" labels: quantize a smoothed scalar
         # field into NUM_SEG_CLASSES regions (stable across views).
@@ -127,17 +150,41 @@ class SyntheticSequence:
             [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]], np.float64
         )
 
-        # Smooth forward trajectory with lateral/rotational jitter.
-        poses = [np.eye(4)]
-        for _ in range(n_frames - 1):
-            xi = np.concatenate(
-                [
-                    rng.normal(0, jitter, 2),  # lateral tx, ty
-                    [forward_speed + rng.normal(0, jitter)],  # tz
-                    rng.normal(0, rot_jitter, 3),  # rotation
-                ]
+        if trajectory == "forward":
+            # Smooth forward trajectory with lateral/rotational jitter.
+            poses = [np.eye(4)]
+            for _ in range(n_frames - 1):
+                xi = np.concatenate(
+                    [
+                        rng.normal(0, jitter, 2),  # lateral tx, ty
+                        [forward_speed + rng.normal(0, jitter)],  # tz
+                        rng.normal(0, rot_jitter, 3),  # rotation
+                    ]
+                )
+                poses.append(poses[-1] @ _se3_exp_np(xi))
+        else:
+            # "loop": a circle in the x-y plane parallel to the textured
+            # plane (camera keeps facing it), arc step = forward_speed.
+            # Path length n_frames*speed is unbounded by plane distance,
+            # which the forward trajectory caps at plane_z — this is the
+            # KITTI-scale (100..800 m segment) evaluation world.
+            assert trajectory == "loop", trajectory
+            r = loop_radius or max(
+                n_frames * forward_speed / (2 * np.pi) * 0.6, 30.0
             )
-            poses.append(poses[-1] @ _se3_exp_np(xi))
+            theta0 = rng.uniform(0, 2 * np.pi)
+            poses = []
+            for t in range(n_frames):
+                th = theta0 + forward_speed * t / r
+                T = np.eye(4)
+                T[0, 3] = r * (np.cos(th) - np.cos(theta0))
+                T[1, 3] = r * (np.sin(th) - np.sin(theta0))
+                poses.append(T)
+            for t in range(1, n_frames):
+                xi = np.concatenate(
+                    [rng.normal(0, jitter, 3), rng.normal(0, rot_jitter, 3)]
+                )
+                poses[t] = poses[t] @ _se3_exp_np(xi)
         self.poses = np.stack(poses)  # (N, 4, 4) cam-to-world
 
         # Independently-moving textured billboards (the dynamic scene
@@ -269,17 +316,28 @@ class SyntheticSequence:
             ly_all[inside] = ly[inside]
         return surf, depth, px, py, lx_all, ly_all
 
-    def frame(self, i: int) -> np.ndarray:
-        """(H, W, 3) float32 image in [0, 1]."""
-        surf, _, px, py, lx, ly = self._surfaces(i)
+    def _sample_background(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+        if self.texture_mode == "procedural":
+            arg = (
+                px[..., None] * self._proc_k[:, 0]
+                + py[..., None] * self._proc_k[:, 1]
+            )  # (H, W, n_comp)
+            waves = np.sin(arg[..., None] + self._proc_phase)  # (H,W,n,3)
+            out = 0.5 + 1.6 * np.tensordot(waves, self._proc_amp, ([-2], [0]))
+            return np.clip(out, 0.0, 1.0).astype(np.float32)
         coords = self._tex_coords(px, py)
-        out = np.stack(
+        return np.stack(
             [
                 map_coordinates(self.texture[..., c], coords, order=1, mode="nearest")
                 for c in range(3)
             ],
             axis=-1,
         )
+
+    def frame(self, i: int) -> np.ndarray:
+        """(H, W, 3) float32 image in [0, 1]."""
+        surf, _, px, py, lx, ly = self._surfaces(i)
+        out = self._sample_background(px, py)
         for k, obj in enumerate(self.objects):
             m = surf == k
             if not m.any():
@@ -301,8 +359,10 @@ class SyntheticSequence:
         """(H, W) int32 labels in [0, NUM_SEG_CLASSES)."""
         surf, _, px, py, _, _ = self._surfaces(i)
         coords = self._tex_coords(px, py)
+        # Procedural worlds are unbounded: tile the label field.
+        mode = "grid-wrap" if self.texture_mode == "procedural" else "nearest"
         out = map_coordinates(
-            self.seg_texture, coords, order=0, mode="nearest"
+            self.seg_texture, coords, order=0, mode=mode
         ).astype(np.int32)
         for k, obj in enumerate(self.objects):
             out[surf == k] = obj["label"]

@@ -144,8 +144,13 @@ def fit(
     log_fn: Callable[[int, dict], None] | None = None,
     state: TrainState | None = None,
     model: DavoModel | None = None,
+    metrics_logger=None,
 ) -> tuple[DavoModel, TrainState, list[dict]]:
-    """Train for cfg.train.max_steps over `batches`. Returns history."""
+    """Train for cfg.train.max_steps over `batches`. Returns history.
+
+    `metrics_logger` (utils.metrics.MetricsLogger): when given and
+    cfg.train.image_every > 0, warped-target/disparity panels are
+    rendered every image_every steps (train/summaries.py)."""
     it = iter(batches)
     first = next(it)
     if model is None or state is None:
@@ -155,6 +160,11 @@ def fit(
     else:
         tx = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1)
     step_fn = make_train_step(model, tx, cfg)
+    summary_fn = None
+    if metrics_logger is not None and cfg.train.image_every > 0:
+        from davo_tpu.train.summaries import make_summary_fn
+
+        summary_fn = make_summary_fn(model, cfg)
 
     mngr = make_checkpoint_manager(checkpoint_dir) if checkpoint_dir else None
     if mngr is not None:
@@ -174,6 +184,10 @@ def fit(
             history.append(m)
             if log_fn:
                 log_fn(i + 1, m)
+            if metrics_logger is not None:
+                metrics_logger.log(i + 1, m)
+        if summary_fn is not None and (i + 1) % cfg.train.image_every == 0:
+            metrics_logger.log_images(i + 1, summary_fn(state.params, batch))
         if mngr is not None and (i + 1) % cfg.train.checkpoint_every == 0:
             save_checkpoint(mngr, state)
         try:

@@ -136,6 +136,77 @@ class TestKittiIO:
         K = ko.scaled_intrinsics(24, 32, (48, 64))
         assert K[0, 0] == pytest.approx(718.856 * 32 / 64)
 
+    def test_precomputed_seg_ingestion(self, tmp_path, seq):
+        """Reference parity R8: precomputed per-frame label maps load
+        through KittiOdometry.load_seg and surface as KittiAdapter.seg
+        (the flow_seg model's real-data cue path)."""
+        import cv2
+
+        from davo_tpu.data.snippets import KittiAdapter, SnippetDataset
+
+        root = tmp_path / "kitti"
+        sdir = root / "sequences" / "05" / "image_2"
+        gdir = root / "sequences" / "05" / "seg"
+        os.makedirs(sdir)
+        os.makedirs(gdir)
+        for i in range(5):
+            img = (seq.frame(i) * 255).astype(np.uint8)
+            cv2.imwrite(str(sdir / f"{i:06d}.png"), cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            cv2.imwrite(str(gdir / f"{i:06d}.png"), seq.seg(i).astype(np.uint8))
+        (root / "sequences" / "05" / "calib.txt").write_text(KITTI_CALIB)
+
+        ko = KittiOdometry(str(root), "05")
+        assert ko.seg_dir is not None
+        s = ko.load_seg(2, 24, 32)
+        assert s.shape == (24, 32) and s.dtype == np.int32
+        assert set(np.unique(s)) <= set(np.unique(seq.seg(2)))
+
+        ad = KittiAdapter(ko, 24, 32, native_hw=(48, 64))
+        assert hasattr(ad, "seg")
+        ds = SnippetDataset(ad, batch_size=1, with_seg=True)
+        batch = next(ds.batches(steps=1))
+        assert batch["seg"].shape == (1, 24, 32)
+
+        # Without a seg dir the adapter must NOT claim the capability.
+        import shutil
+
+        shutil.rmtree(gdir)
+        ad2 = KittiAdapter(KittiOdometry(str(root), "05"), 24, 32, (48, 64))
+        assert not hasattr(ad2, "seg")
+
+    def test_scale_crop_augmentation_consistency(self, seq):
+        """Scale/crop is an intrinsics-only change: warping the
+        augmented source by the GT pose through the augmented K and
+        depth must still reconstruct the augmented target."""
+        from davo_tpu.core import warp as warp_mod
+        from davo_tpu.data.snippets import apply_scale_crop
+
+        t, s_idx = 2, 1
+        frames = [seq.frame(s_idx), seq.frame(t), seq.depth(t)]
+        K = np.asarray(seq.K, np.float32)
+        (src_a, tgt_a, depth_a), _, K_a = apply_scale_crop(
+            frames, None, K, s=1.12, oy=3, ox=5
+        )
+        pose = jnp.asarray(seq.warp_pose(t, s_idx), jnp.float32)[None]
+        recon, valid = warp_mod.projective_inverse_warp(
+            jnp.asarray(src_a)[None],
+            jnp.asarray(depth_a)[None],
+            pose,
+            jnp.asarray(K_a)[None],
+        )
+        v = np.asarray(valid).reshape(tgt_a.shape[0], tgt_a.shape[1])
+        err = (np.abs(np.asarray(recon[0]) - tgt_a).mean(-1) * v).sum() / v.sum()
+        assert err < 0.02, err
+        # Intrinsics algebra: focal scaled by the realized ratios,
+        # principal point scaled then shifted by the crop offset.
+        H, W = frames[0].shape[:2]
+        sx = np.ceil(W * 1.12) / W
+        sy = np.ceil(H * 1.12) / H
+        assert K_a[0, 0] == pytest.approx(K[0, 0] * sx)
+        assert K_a[1, 1] == pytest.approx(K[1, 1] * sy)
+        assert K_a[0, 2] == pytest.approx(K[0, 2] * sx - 5)
+        assert K_a[1, 2] == pytest.approx(K[1, 2] * sy - 3)
+
 
 class TestDynamicWorld:
     """Dynamic-object billboards: exact GT compositing (SURVEY R6 —
@@ -208,6 +279,72 @@ class TestDynamicWorld:
         err_static = err[0][~m].mean()
         assert err_static < 0.02
         assert err_dyn > 3 * err_static
+
+
+class TestLoopWorld:
+    """KITTI-scale evaluation world: loop trajectory + procedural
+    texture (unbounded extent) so 100..800 m segment errors are finite
+    (VERDICT r1: every e2e t_err/r_err was NaN on the 38 m world)."""
+
+    @pytest.fixture(scope="class")
+    def loop(self):
+        return SyntheticSequence(
+            n_frames=120, height=48, width=64, seed=4, plane_z=30.0,
+            forward_speed=0.8, trajectory="loop", texture_mode="procedural",
+        )
+
+    def test_travel_scales_with_frames(self, loop):
+        from davo_tpu.eval.metrics import trajectory_distances
+
+        dist = trajectory_distances(loop.poses)
+        assert dist[-1] > 0.7 * 120 * 0.8  # jitter keeps it near arc len
+
+    def test_textured_and_warp_consistent(self, loop):
+        img = loop.frame(50)
+        assert img.std() > 0.05  # local contrast for photometric loss
+        t, s = 50, 49
+        tgt = jnp.asarray(loop.frame(t))[None]
+        src = jnp.asarray(loop.frame(s))[None]
+        depth = jnp.asarray(loop.depth(t))[None]
+        pose = jnp.asarray(loop.warp_pose(t, s), jnp.float32)[None]
+        K = jnp.asarray(loop.K, jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        v = np.asarray(valid).reshape(1, 48, 64)
+        err = (np.abs(np.asarray(recon - tgt)).mean(-1) * v).sum() / v.sum()
+        assert err < 0.02, err
+
+    def test_segment_errors_finite_at_scale(self):
+        from davo_tpu.eval.metrics import kitti_seg_errors
+
+        # 1,300 frames * 0.8 m ~ 1,040 m of travel: all 100..800 m
+        # segment lengths must produce finite errors. Poses only (no
+        # rendering) keeps this fast.
+        loop = SyntheticSequence(
+            n_frames=1300, height=8, width=8, seed=5, trajectory="loop",
+            texture_mode="procedural",
+        )
+        gt = loop.poses
+        rng = np.random.default_rng(0)
+        pred = gt.copy()
+        drift = np.eye(4)
+        for i in range(1, len(pred)):
+            step = np.linalg.inv(gt[i - 1]) @ gt[i]
+            noise = np.concatenate(
+                [rng.normal(0, 0.01, 3), rng.normal(0, 0.0005, 3)]
+            )
+            drift = drift @ step @ _se3_like(noise)
+            pred[i] = drift
+        res = kitti_seg_errors(gt, pred)
+        assert np.isfinite(res["t_err_pct"])
+        assert np.isfinite(res["r_err_deg_per_100m"])
+        assert len({s[1] for s in res["segments"]}) == 8  # all lengths hit
+        assert res["t_err_pct"] > 0
+
+
+def _se3_like(xi):
+    from davo_tpu.data.synthetic import _se3_exp_np
+
+    return _se3_exp_np(xi)
 
 
 class TestSnippets:

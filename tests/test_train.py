@@ -108,6 +108,34 @@ class TestLosses:
         assert float(pose_supervision_loss(vec + 0.1, mats)) > 1e-3
 
 
+class TestImageSummaries:
+    def test_fit_writes_image_panels(self, dataset, tmp_path):
+        """image_every > 0 + a MetricsLogger => warped/disparity PNG
+        panels on disk (SURVEY.md §5 observability; VERDICT r1 #7)."""
+        import glob
+
+        from davo_tpu.utils.metrics import MetricsLogger
+
+        cfg = Config(
+            model=TINY,
+            train=TrainConfig(
+                batch_size=2, max_steps=2, log_every=1, image_every=1,
+                learning_rate=1e-4,
+            ),
+        )
+        logger = MetricsLogger(str(tmp_path), tensorboard=False)
+        fit(cfg, dataset.batches(steps=2), metrics_logger=logger)
+        logger.close()
+        pngs = glob.glob(str(tmp_path / "images" / "*.png"))
+        names = {p.split("/")[-1].rsplit("_", 1)[0] for p in pngs}
+        assert {
+            "target", "source0", "warped_source0",
+            "photometric_err", "disparity",
+        } <= names, names
+        # Scalar JSONL stream written alongside.
+        assert (tmp_path / "metrics.jsonl").read_text().count("\n") >= 2
+
+
 class TestTrainStep:
     def test_loss_decreases(self, dataset):
         cfg = Config(
