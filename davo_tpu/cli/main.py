@@ -119,6 +119,32 @@ def cmd_train(args) -> int:
     return 0
 
 
+def _restore_model(cfg, ckpt_dir, frames, seg):
+    """Build a model state template and restore params from a ckpt."""
+    import jax
+    import numpy as np
+
+    from davo_tpu.train.loop import (
+        create_state,
+        make_checkpoint_manager,
+        restore_checkpoint,
+    )
+
+    sample = {
+        "target": frames[:1],
+        "sources": frames[:1][:, None],
+        "K": np.eye(3, dtype=np.float32)[None],
+    }
+    if seg is not None:
+        sample["seg"] = seg[:1]
+    model, state, _ = create_state(cfg, jax.random.key(0), sample)
+    mngr = make_checkpoint_manager(ckpt_dir)
+    restored = restore_checkpoint(mngr, state)
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+    return model, restored.params
+
+
 def cmd_infer(args) -> int:
     import jax
     import numpy as np
@@ -256,11 +282,15 @@ def cmd_eval(args) -> int:
 
 def cmd_ba(args) -> int:
     """Sliding-window BA refinement of a predicted trajectory
-    (BASELINE config #4 surface). Depth comes from --depth-dir (.npy
-    per frame, e.g. `davo-tpu depth` output) or synthetic GT."""
+    (BASELINE config #4 surface). Observations are flow-tracked
+    correspondences (ba/tracks.py): from the trained FlowNetLite when
+    --ckpt is given, else (synthetic data) from the world's exact flow
+    field. No GT-pose oracle in either path. Depth comes from
+    --depth-dir (.npy per frame, e.g. `davo-tpu depth` output) or
+    synthetic GT."""
     import numpy as np
 
-    from davo_tpu.ba.window import SlidingWindowBA
+    from davo_tpu.ba.tracks import make_flow_fn, refine_trajectory_tracked
     from davo_tpu.config import BAConfig
     from davo_tpu.data.kitti import parse_poses, write_poses_kitti
     from davo_tpu.models import presets
@@ -268,8 +298,9 @@ def cmd_ba(args) -> int:
     cfg = _apply_sets(presets.get(args.version), args.set)
     with open(args.pred) as f:
         pred = parse_poses(f.read())
-    frames_meta = _load_sequence(args.data, args.seq, cfg, False)
-    K = frames_meta[3]
+    frames, segs, _, K = _load_sequence(
+        args.data, args.seq, cfg, args.exclude_dynamic
+    )
     n = len(pred)
 
     if args.depth_dir:
@@ -293,19 +324,36 @@ def cmd_ba(args) -> int:
         print("need --depth-dir for non-synthetic data", file=sys.stderr)
         return 1
 
+    if args.ckpt:
+        model, params = _restore_model(cfg, args.ckpt, frames, segs)
+        flow_fn = make_flow_fn(model, params, cfg, frames[:n])
+    elif args.data == "synthetic":
+        from davo_tpu.data.synthetic import SyntheticSequence
+
+        s = SyntheticSequence(
+            n_frames=32, height=cfg.model.img_height,
+            width=cfg.model.img_width, seed=int(args.seq or 0),
+        )
+        flow_fn = s.gt_flow
+    else:
+        print("need --ckpt for non-synthetic data", file=sys.stderr)
+        return 1
+
+    from davo_tpu.data.synthetic import DYNAMIC_LABEL_START
+
     ba_cfg = BAConfig(
         window_size=args.window, max_iterations=args.iterations,
         damping=1e-3, huber_delta=3.0,
     )
-    obs_poses = None
-    if args.data == "synthetic":
-        # Oracle observations from the synthetic world's GT poses
-        # (independent measurement; KITTI needs flow tracks — r2).
-        obs_poses = frames_meta[2][:n]
-    swba = SlidingWindowBA(ba_cfg)
-    refined = swba.refine_trajectory(
-        pred, depths, np.asarray(K, np.float64),
-        grid_step=args.grid_step, obs_poses=obs_poses,
+    refined = refine_trajectory_tracked(
+        ba_cfg, pred, depths, np.asarray(K, np.float64), flow_fn,
+        grid_step=args.grid_step, fb_px=args.fb_px,
+        segs=segs if args.exclude_dynamic else None,
+        exclude_labels=(
+            tuple(range(DYNAMIC_LABEL_START, cfg.model.num_seg_classes))
+            if args.exclude_dynamic
+            else ()
+        ),
     )
     write_poses_kitti(args.out, refined)
     print(f"refined {n} poses -> {args.out}")
@@ -367,10 +415,15 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--seq", default="09")
     a.add_argument("--pred", required=True, help="predicted trajectory (KITTI fmt)")
     a.add_argument("--depth-dir", default=None)
+    a.add_argument("--ckpt", default=None, help="model ckpt for flow tracks")
     a.add_argument("--out", required=True)
     a.add_argument("--window", type=int, default=8)
     a.add_argument("--iterations", type=int, default=8)
     a.add_argument("--grid-step", type=int, default=8)
+    a.add_argument("--fb-px", type=float, default=1.0,
+                   help="forward-backward track gate (pixels)")
+    a.add_argument("--exclude-dynamic", action="store_true",
+                   help="drop anchors on dynamic seg classes (11-18)")
     a.add_argument("--set", action="append")
     a.set_defaults(fn=cmd_ba)
 
