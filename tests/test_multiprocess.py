@@ -74,3 +74,141 @@ def test_two_process_loopback(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outputs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out
+
+
+FAULT_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, "/root/repo")
+pid = int(sys.argv[1]); phase = sys.argv[2]; ckpt_dir = sys.argv[3]
+
+import jax
+from davo_tpu.dist.bootstrap import initialize, local_batch_to_global
+topo = initialize(
+    coordinator_address="127.0.0.1:%PORT%", num_processes=2, process_id=pid
+)
+
+import numpy as np
+import jax.numpy as jnp
+import flax.serialization as fser
+from jax.sharding import Mesh
+from davo_tpu.config import Config, ModelConfig, TrainConfig
+from davo_tpu.data.snippets import SnippetDataset
+from davo_tpu.data.synthetic import SyntheticSequence
+from davo_tpu.dist.train import make_sharded_train_step, shard_state
+from davo_tpu.train.loop import create_state
+import optax
+
+cfg = Config(
+    model=ModelConfig(
+        img_height=48, img_width=64, pose_channels=(8, 12),
+        disp_channels=(8, 12), num_scales=2, flow_levels=2,
+        flow_search_range=2, attention="none", compute_dtype="float32",
+    ),
+    train=TrainConfig(batch_size=4, learning_rate=1e-3),
+)
+seq = SyntheticSequence(n_frames=10, height=48, width=64, seed=7)
+ds = SnippetDataset(seq, batch_size=4, with_gt=True, seed=0)
+batches = list(ds.batches(steps=8, shuffle=False))
+
+model, state, tx = create_state(cfg, jax.random.key(0), batches[0])
+mesh = Mesh(
+    np.asarray(jax.devices()).reshape(4, 1, 1), ("data", "model", "window")
+)
+CKPT = os.path.join(ckpt_dir, "state.msgpack")
+STEPF = os.path.join(ckpt_dir, "step.txt")
+start = 0
+if phase == "resume":
+    # Restart-from-checkpoint: both processes restore the identical
+    # committed state (replicated params -> same bytes everywhere).
+    with open(CKPT, "rb") as f:
+        state = fser.from_bytes(state, f.read())
+    start = int(open(STEPF).read())
+    assert start >= 2, f"crash-phase checkpoint missing (start={start})"
+state = shard_state(state, mesh)
+step_fn = make_sharded_train_step(model, tx, cfg, mesh)
+
+losses = []
+for i in range(start, len(batches)):
+    gbatch = {
+        k: jax.device_put(v, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data", *([None] * (v.ndim - 1)))
+        ))
+        for k, v in batches[i].items()
+    }
+    state, metrics = step_fn(state, gbatch)
+    loss = float(metrics["total"])
+    losses.append(loss)
+    if pid == 0:
+        # Atomic commit: write-then-rename, step marker last.
+        blob = fser.to_bytes(jax.device_get(state))
+        tmp = CKPT + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, CKPT)
+        with open(STEPF + ".tmp", "w") as f:
+            f.write(str(i + 1))
+        os.replace(STEPF + ".tmp", STEPF)
+    if phase == "crash" and i == 2 and pid == 1:
+        # Simulated host failure mid-training: hard exit, no cleanup.
+        os._exit(17)
+
+assert all(np.isfinite(losses)), losses
+print(f"proc {pid} phase={phase} DONE start={start} last_loss={losses[-1]:.4f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_fault_injection_restart_from_ckpt(tmp_path):
+    """SURVEY.md §5 failure-recovery: kill one of two hosts mid-train,
+    relaunch both, assert clean restart from the committed checkpoint
+    and completion of the remaining steps."""
+    port = 29517
+    script = FAULT_WORKER.replace("%PORT%", str(port))
+    worker_py = tmp_path / "fault_worker.py"
+    worker_py.write_text(script)
+    ckpt_dir = tmp_path / "ckpt"
+    os.makedirs(ckpt_dir)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
+    }
+
+    def launch(phase):
+        return [
+            subprocess.Popen(
+                [sys.executable, str(worker_py), str(i), phase, str(ckpt_dir)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+
+    # Phase 1: proc 1 hard-exits at step 2. The survivor blocks on the
+    # next collective; the driver (this test) detects the death and
+    # tears the job down — the real-pod runbook.
+    procs = launch("crash")
+    out1, _ = procs[1].communicate(timeout=300)
+    assert procs[1].returncode == 17, f"expected injected crash:\n{out1[-2000:]}"
+    try:
+        procs[0].communicate(timeout=10)
+    except subprocess.TimeoutExpired:
+        pass
+    procs[0].kill()
+    procs[0].communicate()
+
+    # The atomic checkpoint from before the crash must exist.
+    assert (ckpt_dir / "state.msgpack").exists()
+    assert int((ckpt_dir / "step.txt").read_text()) >= 2
+
+    # Phase 2: relaunch both processes; they restore and finish.
+    procs = launch("resume")
+    outputs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outputs)):
+        assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} phase=resume DONE" in out
+    assert int((ckpt_dir / "step.txt").read_text()) == 8
