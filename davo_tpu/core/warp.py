@@ -16,6 +16,7 @@ SURVEY.md §3.1 HOT LOOP). TPU-first design:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from davo_tpu.core import geometry as geo
@@ -98,7 +99,7 @@ def projective_inverse_warp(
 
 
 def flow_warp(src: jnp.ndarray, flow: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Warp `src` by a dense flow field.
+    """Warp `src` by a dense flow field (exact bilinear gather).
 
     src:  (B, H, W, C); flow: (B, H, W, 2) with flow[..., 0] = du,
     flow[..., 1] = dv (sample src at (u + du, v + dv)).
@@ -108,3 +109,45 @@ def flow_warp(src: jnp.ndarray, flow: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
     grid = geo.pixel_grid(H, W, src.dtype)[:2]  # (2, H, W)
     coords = jnp.moveaxis(grid, 0, -1)[None] + flow  # (B, H, W, 2)
     return bilinear_sample(src, coords)
+
+
+def flow_warp_separable(
+    src: jnp.ndarray, flow: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather-free flow warp: two banded one-hot MATMUL passes.
+
+    XLA lowers the per-pixel bilinear gather to ~10 M elem/s on this
+    TPU stack — measured 20 ms of the 31 ms flow-net forward (r2
+    subtractive profile). This formulation runs on the MXU instead:
+
+      pass 1 (exact):  mid[b,y,x]  = sum_w  Wx[b,y,x,w] src[b,y,w]
+      pass 2:          out[b,y,x]  = sum_h  Wy[b,y,x,h] mid[b,h,x]
+
+    where Wx/Wy are bilinear hat weights relu(1 - |i - coord|). The
+    horizontal pass is exact; the vertical pass evaluates du at row h
+    instead of row y, an O(|d du/dy| * |dv|) approximation that is
+    negligible for the SMOOTH fields warped inside a PWC pyramid
+    (upsampled coarse flow). Use only at pyramid resolution: weight
+    tensors are (B,H,W,W)/(B,H,W,H).
+
+    Returns (warped, valid) with the same contract as `flow_warp`.
+    """
+    B, H, W, C = src.shape
+    dt = src.dtype
+    grid = geo.pixel_grid(H, W, jnp.float32)[:2]
+    u = grid[0][None] + flow[..., 0]  # (B, H, W)
+    v = grid[1][None] + flow[..., 1]
+    valid = (
+        (u >= 0.0) & (u <= W - 1.0) & (v >= 0.0) & (v <= H - 1.0)
+    )[..., None].astype(dt)
+    uc = jnp.clip(u, 0.0, W - 1.0)
+    vc = jnp.clip(v, 0.0, H - 1.0)
+
+    xs = jnp.arange(W, dtype=jnp.float32)
+    Wx = jax.nn.relu(1.0 - jnp.abs(xs - uc[..., None])).astype(dt)
+    mid = jnp.einsum("byxw,bywc->byxc", Wx, src)
+
+    hs = jnp.arange(H, dtype=jnp.float32)
+    Wy = jax.nn.relu(1.0 - jnp.abs(hs - vc[..., None])).astype(dt)
+    out = jnp.einsum("byxh,bhxc->byxc", Wy, mid)
+    return out * valid, valid

@@ -269,7 +269,11 @@ class SyntheticSequence:
         return px, py, tstar  # depth in cam frame == tstar (rays have z=1)
 
     def _tex_coords(self, px: np.ndarray, py: np.ndarray) -> np.ndarray:
-        res = self.texture.shape[0]
+        # Procedural worlds have no image texture grid; the label grid
+        # shares the same resolution convention.
+        res = (
+            self.texture if self.texture is not None else self.seg_texture
+        ).shape[0]
         half = self.texture_extent / 2
         tx = (px + half) / self.texture_extent * (res - 1)
         ty = (py + half) / self.texture_extent * (res - 1)

@@ -70,6 +70,21 @@ def kitti_seg_errors(
     }
 
 
+def align_trajectory_scale(
+    gt: np.ndarray, pred: np.ndarray
+) -> tuple[np.ndarray, float]:
+    """Globally scale `pred` translations to best fit `gt` (monocular
+    scale ambiguity — the standard correction before t_err on
+    unsupervised methods; rotations are scale-free and untouched)."""
+    gt_c = gt[:, :3, 3] - gt[:, :3, 3].mean(0)
+    pr_c = pred[:, :3, 3] - pred[:, :3, 3].mean(0)
+    denom = float((pr_c * pr_c).sum())
+    scale = float((gt_c * pr_c).sum()) / denom if denom > 1e-12 else 1.0
+    out = pred.copy()
+    out[:, :3, 3] *= scale
+    return out, scale
+
+
 def ate_rmse(
     gt: np.ndarray, pred: np.ndarray, align_scale: bool = True
 ) -> float:

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig
-from davo_tpu.core.warp import flow_warp
+from davo_tpu.core.warp import flow_warp_separable
 from davo_tpu.kernels.costvol import cost_volume_pallas
 from davo_tpu.kernels.resize import resize_bilinear_aligned
 from davo_tpu.models.common import ConvBlock, dtype_of
@@ -113,7 +113,10 @@ class FlowNetLite(nn.Module):
                 f2w = f2
             else:
                 flow_up = 2.0 * resize_bilinear_aligned(flow, H, W)
-                f2w, _ = flow_warp(f2, flow_up)
+                # Separable matmul warp: the gather lowering costs 20 ms
+                # of the 31 ms forward on TPU (r2 profile); the smooth
+                # upsampled field makes the two-pass form near-exact.
+                f2w, _ = flow_warp_separable(f2, flow_up)
             cv_fn = (
                 cost_volume_pallas
                 if self.cfg.use_pallas and jax.default_backend() == "tpu"

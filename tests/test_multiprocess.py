@@ -48,7 +48,7 @@ print(f"proc {topo.process_id} OK sum={val}", flush=True)
 
 @pytest.mark.slow
 def test_two_process_loopback(tmp_path):
-    port = 29512
+    port = 29500 + os.getpid() % 400  # avoid cross-run TIME_WAIT clashes
     script = WORKER.replace("%PORT%", str(port))
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(script)
@@ -57,21 +57,24 @@ def test_two_process_loopback(tmp_path):
         for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
     }
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker_py), str(i)],
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-            env=env,
-        )
-        for i in range(2)
-    ]
-    outputs = []
+    # File-backed logs: a 64 KB stdout PIPE can fill with Gloo/XLA
+    # chatter and block a worker mid-collective (see the fault test).
+    procs = []
+    for i in range(2):
+        with open(tmp_path / f"p{i}.log", "w") as log:
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(worker_py), str(i)],
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                    env=env,
+                )
+            )
     for p in procs:
-        out, _ = p.communicate(timeout=300)
-        outputs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outputs)):
+        p.wait(timeout=300)
+    for i, p in enumerate(procs):
+        out = (tmp_path / f"p{i}.log").read_text()
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} OK" in out
 
@@ -164,7 +167,7 @@ def test_fault_injection_restart_from_ckpt(tmp_path):
     """SURVEY.md §5 failure-recovery: kill one of two hosts mid-train,
     relaunch both, assert clean restart from the committed checkpoint
     and completion of the remaining steps."""
-    port = 29517
+    port = 28900 + os.getpid() % 400  # avoid cross-run TIME_WAIT clashes
     script = FAULT_WORKER.replace("%PORT%", str(port))
     worker_py = tmp_path / "fault_worker.py"
     worker_py.write_text(script)
@@ -176,30 +179,46 @@ def test_fault_injection_restart_from_ckpt(tmp_path):
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
     }
 
+    logs = {}
+
     def launch(phase):
-        return [
-            subprocess.Popen(
-                [sys.executable, str(worker_py), str(i), phase, str(ckpt_dir)],
-                stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT,
-                text=True,
-                env=env,
+        # Worker output goes to FILES: Gloo/XLA logs overflow a 64 KB
+        # stdout PIPE and block the worker mid-print (observed: main
+        # thread stuck in anon_pipe_write), deadlocking the lockstep
+        # collectives before the injected crash is ever reached.
+        procs = []
+        for i in range(2):
+            log = open(tmp_path / f"{phase}_p{i}.log", "w+")
+            logs[(phase, i)] = log
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(worker_py), str(i), phase, str(ckpt_dir)],
+                    stdout=log,
+                    stderr=subprocess.STDOUT,
+                    text=True,
+                    env=env,
+                )
             )
-            for i in range(2)
-        ]
+        return procs
+
+    def read_log(phase, i):
+        logs[(phase, i)].flush()
+        return (tmp_path / f"{phase}_p{i}.log").read_text()
 
     # Phase 1: proc 1 hard-exits at step 2. The survivor blocks on the
     # next collective; the driver (this test) detects the death and
     # tears the job down — the real-pod runbook.
     procs = launch("crash")
-    out1, _ = procs[1].communicate(timeout=300)
-    assert procs[1].returncode == 17, f"expected injected crash:\n{out1[-2000:]}"
+    procs[1].wait(timeout=300)
+    assert procs[1].returncode == 17, (
+        f"expected injected crash:\n{read_log('crash', 1)[-2000:]}"
+    )
     try:
-        procs[0].communicate(timeout=10)
+        procs[0].wait(timeout=10)
     except subprocess.TimeoutExpired:
         pass
     procs[0].kill()
-    procs[0].communicate()
+    procs[0].wait()
 
     # The atomic checkpoint from before the crash must exist.
     assert (ckpt_dir / "state.msgpack").exists()
@@ -207,8 +226,12 @@ def test_fault_injection_restart_from_ckpt(tmp_path):
 
     # Phase 2: relaunch both processes; they restore and finish.
     procs = launch("resume")
-    outputs = [p.communicate(timeout=300)[0] for p in procs]
-    for i, (p, out) in enumerate(zip(procs, outputs)):
+    for p in procs:
+        p.wait(timeout=300)
+    for i, p in enumerate(procs):
+        out = read_log("resume", i)
         assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
         assert f"proc {i} phase=resume DONE" in out
     assert int((ckpt_dir / "step.txt").read_text()) == 8
+    for log in logs.values():
+        log.close()

@@ -1,6 +1,7 @@
 """Golden tests for warping / SSIM / pyramids (SURVEY.md §4.1):
 a textured plane with known depth + pose must reconstruct exactly."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -110,6 +111,69 @@ class TestFlowWarp:
         np.testing.assert_allclose(
             np.asarray(out[0, :, :11]), np.asarray(img[0, :, 1:]), atol=1e-6
         )
+
+
+class TestFlowWarpSeparable:
+    """Gather-free two-pass warp (core/warp.flow_warp_separable): the
+    TPU-fast path used inside the flow pyramid. Exact when either flow
+    component is integer/uniform; near-exact on smooth fields."""
+
+    def test_horizontal_flow_exact(self, rng):
+        img = jnp.asarray(rng.uniform(size=(2, 8, 12, 4)), jnp.float32)
+        flow = jnp.zeros((2, 8, 12, 2)).at[..., 0].set(
+            jnp.asarray(rng.uniform(-2, 2, (2, 8, 12)), jnp.float32)
+        )
+        a, va = warp.flow_warp(img, flow)
+        b, vb = warp.flow_warp_separable(img, flow)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+    def test_constant_flow_exact(self, rng):
+        img = jnp.asarray(rng.uniform(size=(1, 8, 12, 2)), jnp.float32)
+        flow = jnp.broadcast_to(jnp.array([0.7, -1.3]), (1, 8, 12, 2))
+        a, _ = warp.flow_warp(img, flow)
+        b, _ = warp.flow_warp_separable(img, flow)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_smooth_flow_close(self, rng):
+        """PWC-regime field (2x-upsampled previous-level flow: locally
+        smooth, |dv| small relative to du variation): the two-pass
+        error |d du/dy|*|dv| stays subpixel -> small value error."""
+        from scipy.ndimage import gaussian_filter
+
+        from davo_tpu.kernels.resize import resize_bilinear_aligned
+
+        img_np = rng.uniform(size=(1, 16, 24, 8)).astype(np.float32)
+        for c in range(8):  # feature-map-like smoothness
+            img_np[0, ..., c] = gaussian_filter(img_np[0, ..., c], 1.0)
+        img = jnp.asarray(img_np)
+        coarse = np.stack(
+            [
+                rng.uniform(-4, 4, (1, 8, 12)),  # du: large, smooth
+                rng.uniform(-1, 1, (1, 8, 12)),  # dv: small (driving)
+            ],
+            axis=-1,
+        ).astype(np.float32)
+        for c in range(2):
+            coarse[0, ..., c] = gaussian_filter(coarse[0, ..., c], 2.0)
+        flow = 2.0 * resize_bilinear_aligned(jnp.asarray(coarse), 16, 24)
+        a, va = warp.flow_warp(img, flow)
+        b, vb = warp.flow_warp_separable(img, flow)
+        m = np.asarray(va * vb)
+        diff = np.abs(np.asarray(a - b)) * m
+        assert diff.max() < 0.06, diff.max()
+        assert diff.mean() < 0.005, diff.mean()
+
+    def test_grads_finite(self, rng):
+        img = jnp.asarray(rng.uniform(size=(1, 8, 12, 2)), jnp.float32)
+
+        def loss(flow):
+            out, _ = warp.flow_warp_separable(img, flow)
+            return (out**2).sum()
+
+        g = jax.grad(loss)(jnp.full((1, 8, 12, 2), 0.3))
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.abs(g).max()) > 0.0
 
 
 class TestSSIM:

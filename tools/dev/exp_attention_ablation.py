@@ -1,0 +1,105 @@
+"""Attention-efficacy ablation (SURVEY.md R6; VERDICT r1 #2).
+
+The paper's claim: down-weighting dynamic-object regions improves
+ego-motion. Train none / flow / flow_seg variants PHOTOMETRIC-ONLY
+(the reference's regime — supervision would mask the effect) on
+synthetic worlds with independently-moving textured objects, then
+compare pose metrics on an unseen dynamic world.
+
+Usage: tools/dev/tpu_run.sh tools/dev/exp_attention_ablation.py <t> 1
+       argv: [STEPS] [OUT.json]
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+from davo_tpu.config import Config, TrainConfig
+from davo_tpu.data.snippets import MultiSourceDataset
+from davo_tpu.data.synthetic import SyntheticSequence
+from davo_tpu.eval.metrics import align_trajectory_scale
+from davo_tpu.eval.runner import (
+    assemble_trajectory,
+    evaluate_sequence,
+    make_pose_apply_fn,
+    predict_sequence,
+)
+from davo_tpu.models import presets
+from davo_tpu.train.loop import fit
+
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/attention_ablation.json"
+
+base = presets.get("tiny")
+H, W = base.model.img_height, base.model.img_width
+
+WORLD_KW = dict(
+    height=H, width=W, plane_z=30.0, forward_speed=0.8,
+    trajectory="loop", texture_mode="procedural",
+    n_dynamic=4, dynamic_speed=0.6,
+)
+train_worlds = [
+    SyntheticSequence(n_frames=24, seed=s, **WORLD_KW) for s in range(1, 13)
+]
+eval_seq = SyntheticSequence(n_frames=200, seed=99, **WORLD_KW)
+frames = np.stack([eval_seq.frame(i) for i in range(len(eval_seq))])
+segs = np.stack([eval_seq.seg(i) for i in range(len(eval_seq))])
+gt = eval_seq.poses
+dyn_frac = float(
+    np.mean([eval_seq.dynamic_mask(i).mean() for i in range(0, 200, 20)])
+)
+print(f"eval world dynamic coverage: {dyn_frac:.2f}", flush=True)
+
+report = {"steps": STEPS, "dynamic_coverage": dyn_frac, "variants": {}}
+
+for variant in ("none", "flow", "flow_seg"):
+    cfg = Config(
+        model=dataclasses.replace(base.model, attention=variant),
+        train=TrainConfig(
+            batch_size=16, learning_rate=4e-3, max_steps=STEPS,
+            pose_supervision_weight=0.0, smooth_weight=0.1,
+            log_every=max(STEPS // 8, 1),
+        ),
+    )
+    ds = MultiSourceDataset(
+        train_worlds, batch_size=16, with_seg=True, with_gt=False,
+        augment=True, seed=0,
+    )
+    t0 = time.time()
+    model, state, history = fit(
+        cfg, ds.batches(steps=STEPS),
+        log_fn=lambda s, m, v=variant: print(
+            f"[{v}] step {s}: "
+            + " ".join(f"{k}={val:.4f}" for k, val in m.items()),
+            flush=True,
+        ),
+    )
+    apply_fn = make_pose_apply_fn(model, state.params, variant)
+    rels = predict_sequence(apply_fn, frames, seg=segs, batch_size=64)
+    pred = assemble_trajectory(rels)
+    aligned, scale = align_trajectory_scale(gt, pred)
+    res = evaluate_sequence(aligned, gt)
+    res["scale"] = scale
+    res["train_s"] = time.time() - t0
+    res["train_last"] = history[-1]
+    report["variants"][variant] = res
+    print(f"[{variant}] {json.dumps(res, default=float)}", flush=True)
+
+none_ate = report["variants"]["none"]["snippet_ate_mean"]
+full_ate = report["variants"]["flow_seg"]["snippet_ate_mean"]
+report["flow_seg_vs_none"] = full_ate / max(none_ate, 1e-12)
+print(
+    f"snippet ATE: none={none_ate:.4f} "
+    f"flow={report['variants']['flow']['snippet_ate_mean']:.4f} "
+    f"flow_seg={full_ate:.4f} (ratio {report['flow_seg_vs_none']:.2f})",
+    flush=True,
+)
+
+with open(OUT, "w") as f:
+    json.dump(report, f, indent=2, default=float)
+print("report ->", OUT, flush=True)

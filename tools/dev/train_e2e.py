@@ -1,10 +1,17 @@
-"""End-to-end slice on real hardware: train the full DAVO-equivalent
-model (flow + region attention + pose + disp) on the synthetic GT
-world, then streaming-eval a held-out sequence, then refine with
-sliding-window BA using the net's own depth. Writes a JSON report.
+"""End-to-end slice on real hardware (r2): two training tiers on
+KITTI-scale synthetic loop worlds, full metric pipeline with FINITE
+t_err/r_err (Python + C++ devkit), depth accuracy assertion, and
+flow-tracked BA refinement — BASELINE configs #1-#4 on synthetic data.
 
-This is BASELINE configs #1-#4 in one run (synthetic data; KITTI
-parity pending real data — BASELINE.md)."""
+Tier A (supervised): pose_supervision_weight > 0 pins metric scale ->
+    depth_med must land within 25 % of GT; t_err/r_err reported raw.
+Tier B (unsupervised): the reference's regime (photometric only) ->
+    scale-ambiguous; evaluated after global scale alignment; must
+    reach snippet-ATE within ~2x of tier A.
+
+Usage: tools/dev/tpu_run.sh tools/dev/train_e2e.py <timeout> 1
+       [STEPS] [OUT.json] via argv.
+"""
 
 import json
 import sys
@@ -16,134 +23,171 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from davo_tpu.ba.gn import ba_refine
-from davo_tpu.ba.window import build_window_problem
 from davo_tpu.config import BAConfig, Config, TrainConfig
+from davo_tpu.data.snippets import MultiSourceDataset
 from davo_tpu.data.synthetic import SyntheticSequence
+from davo_tpu.eval.metrics import align_trajectory_scale
 from davo_tpu.eval.runner import (
     assemble_trajectory,
     evaluate_sequence,
+    make_pose_apply_fn,
     predict_sequence,
 )
 from davo_tpu.models import presets
 from davo_tpu.models.dispnet import disp_to_depth
-from davo_tpu.train.loop import create_state, fit, make_train_step
+from davo_tpu.train.loop import fit
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_e2e.json"
+EVAL_FRAMES = 1300  # * 0.8 m/frame ~ 1,040 m: all 100..800 m segments
 
 report = {}
-cfg = presets.get("tiny")
-cfg = Config(
-    model=cfg.model,
-    train=TrainConfig(
-        batch_size=16,
-        learning_rate=4e-3,
-        max_steps=STEPS,
-        pose_supervision_weight=100.0,
-        smooth_weight=0.1,
-        log_every=max(STEPS // 10, 1),
-    ),
-)
+base = presets.get("tiny")
+H, W = base.model.img_height, base.model.img_width
 
-H, W = cfg.model.img_height, cfg.model.img_width
-from davo_tpu.data.snippets import MultiSourceDataset
+WORLD_KW = dict(
+    height=H, width=W, plane_z=30.0, forward_speed=0.8,
+    trajectory="loop", texture_mode="procedural",
+)
 
 train_worlds = [
-    SyntheticSequence(n_frames=24, height=H, width=W, seed=s)
-    for s in range(1, 17)  # 16 worlds; eval world seed=99 unseen
+    SyntheticSequence(n_frames=24, seed=s, **WORLD_KW) for s in range(1, 17)
 ]
-ds = MultiSourceDataset(
-    train_worlds, batch_size=cfg.train.batch_size, with_seg=True,
-    with_gt=True, augment=True, seed=0,
-)
-
-t0 = time.time()
-model, state, history = fit(
-    cfg,
-    ds.batches(steps=cfg.train.max_steps),
-    log_fn=lambda s, m: print(
-        f"step {s}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
-        flush=True,
-    ),
-)
-report["train_s"] = time.time() - t0
-report["train_first"] = history[0]
-report["train_last"] = history[-1]
-
-# ---- held-out eval sequence ------------------------------------------
-eval_seq = SyntheticSequence(n_frames=48, height=H, width=W, seed=99)
-frames = np.stack([eval_seq.frame(i) for i in range(len(eval_seq))])
-segs = np.stack([eval_seq.seg(i) for i in range(len(eval_seq))])
-
-
-@jax.jit
-def pose_fn(targets, sources, seg):
-    out = model.apply(
-        state.params, targets, sources[:, None], seg=seg, train=False
-    )
-    return out["poses"][:, 0]
-
-
-rels = predict_sequence(pose_fn, frames, seg=segs, batch_size=16)
-pred = assemble_trajectory(rels)
+eval_seq = SyntheticSequence(n_frames=EVAL_FRAMES, seed=99, **WORLD_KW)
+frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
+segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
 gt = eval_seq.poses
-report["eval_vo"] = evaluate_sequence(pred, gt)
-print("VO eval:", report["eval_vo"], flush=True)
+gt_depth_med = float(np.median(eval_seq.depth(0)))
 
-# ---- depth from the net + sliding-window BA refinement ---------------
-@jax.jit
-def depth_fn(targets, sources, seg):
-    out = model.apply(
-        state.params, targets, sources[:, None], seg=seg, train=True
+
+def run_tier(name: str, sup_weight: float, steps: int) -> dict:
+    cfg = Config(
+        model=base.model,
+        train=TrainConfig(
+            batch_size=16, learning_rate=4e-3, max_steps=steps,
+            pose_supervision_weight=sup_weight, smooth_weight=0.1,
+            log_every=max(steps // 10, 1),
+        ),
     )
+    ds = MultiSourceDataset(
+        train_worlds, batch_size=16, with_seg=True, with_gt=sup_weight > 0,
+        augment=True, seed=0,
+    )
+    t0 = time.time()
+    model, state, history = fit(
+        cfg, ds.batches(steps=steps),
+        log_fn=lambda s, m: print(
+            f"[{name}] step {s}: "
+            + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+            flush=True,
+        ),
+    )
+    tier = {"train_s": time.time() - t0, "train_last": history[-1]}
+
+    apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
+    rels = predict_sequence(apply_fn, frames, seg=segs, batch_size=64)
+    pred = assemble_trajectory(rels)
+    tier["eval_raw"] = evaluate_sequence(pred, gt)
+    aligned, scale = align_trajectory_scale(gt, pred)
+    tier["eval_scale_aligned"] = evaluate_sequence(aligned, gt)
+    tier["scale"] = scale
+
+    # Depth (median over a few frames).
+    @jax.jit
+    def depth_fn(t, s, g):
+        out = model.apply(state.params, t, s[:, None], seg=g, train=True)
+        return disp_to_depth(out["disp"][0][..., 0])
+
+    d = np.asarray(
+        depth_fn(
+            jnp.asarray(frames[1:17]), jnp.asarray(frames[0:16]),
+            jnp.asarray(segs[1:17]),
+        )
+    )
+    tier["depth_med"] = float(np.median(d))
+    tier["gt_depth_med"] = gt_depth_med
+
+    # C++ devkit cross-check on the (aligned for tier B) trajectory.
+    try:
+        from davo_tpu.eval.devkit import kitti_seg_errors_cpp
+
+        use = aligned if sup_weight == 0 else pred
+        tier["devkit"] = kitti_seg_errors_cpp(gt, use)
+    except Exception as e:  # devkit lib not built
+        tier["devkit"] = {"error": str(e)[:200]}
+
+    tier["model_state"] = (model, state)
+    return tier
+
+
+# ---- Tier A: supervised scale anchor ---------------------------------
+tier_a = run_tier("sup", 100.0, STEPS)
+report["supervised"] = {
+    k: v for k, v in tier_a.items() if k != "model_state"
+}
+print("TIER A eval:", json.dumps(report["supervised"]["eval_raw"]), flush=True)
+assert np.isfinite(tier_a["eval_raw"]["t_err_pct"]), "t_err must be finite"
+depth_ratio = tier_a["depth_med"] / gt_depth_med
+print(f"depth_med={tier_a['depth_med']:.1f} vs GT {gt_depth_med:.1f}", flush=True)
+# Depth-accuracy gate (VERDICT r1 #4); smoke runs (tiny STEPS) exempt.
+if STEPS >= 500:
+    assert 0.75 < depth_ratio < 1.25, f"depth off by {depth_ratio:.2f}x"
+
+# ---- flow-tracked BA on tier A's trajectory (config #4) --------------
+model, state = tier_a["model_state"]
+from davo_tpu.ba.tracks import make_flow_fn, refine_trajectory_tracked
+
+cfg_full = presets.get("tiny")
+flow_fn = make_flow_fn(model, state.params, cfg_full, frames[:257])
+
+
+@jax.jit
+def depth_fn_a(t, s, g):
+    out = model.apply(state.params, t, s[:, None], seg=g, train=True)
     return disp_to_depth(out["disp"][0][..., 0])
 
 
+NBA = 256
 depths = []
-for start in range(0, len(frames) - 1, 16):
-    end = min(start + 16, len(frames) - 1)
-    pad = 16 - (end - start)
-    tg = frames[start:end]
-    sr = frames[start + 1 : end + 1]
-    sg = segs[start:end]
-    if pad:
-        tg = np.concatenate([tg, np.repeat(tg[-1:], pad, 0)])
-        sr = np.concatenate([sr, np.repeat(sr[-1:], pad, 0)])
-        sg = np.concatenate([sg, np.repeat(sg[-1:], pad, 0)])
-    d = np.asarray(depth_fn(jnp.asarray(tg), jnp.asarray(sr), jnp.asarray(sg)))
-    depths.append(d[: end - start])
-depths = np.concatenate(depths + [np.asarray(depth_fn(
-    jnp.asarray(np.repeat(frames[-1:], 16, 0)),
-    jnp.asarray(np.repeat(frames[-1:], 16, 0)),
-    jnp.asarray(np.repeat(segs[-1:], 16, 0)),
-))[:1]], axis=0)
-report["depth_med"] = float(np.median(depths))
-report["gt_depth_med"] = float(np.median(eval_seq.depth(0)))
-
-# BA windows over the predicted trajectory with predicted depth; the
-# observations come from projecting predicted-depth landmarks through
-# the GT-consistent images — here (synthetic oracle) we use GT-projected
-# observations to isolate the solver's contribution (config #4 slice).
-ba_cfg = BAConfig(window_size=8, max_iterations=8, damping=1e-3, huber_delta=3.0)
-refined = pred.copy()
-for start in range(0, len(refined) - 8 + 1, 4):
-    prob = build_window_problem(
-        gt[start : start + 8],
-        np.stack([eval_seq.depth(i) for i in range(start, start + 8)]),
-        eval_seq.K, step=8,
-    )
-    prob = prob._replace(
-        poses_cw=jnp.asarray(
-            np.linalg.inv(refined[start : start + 8]), jnp.float32
+for start in range(0, NBA, 64):
+    d = np.asarray(
+        depth_fn_a(
+            jnp.asarray(frames[start : start + 64]),
+            jnp.asarray(frames[start + 1 : start + 65]),
+            jnp.asarray(segs[start : start + 64]),
         )
     )
-    # anchor first two poses at current trajectory estimate
-    sol = ba_refine(prob, ba_cfg)
-    new_wc = np.linalg.inv(np.asarray(sol.poses_cw))
-    refined[start + 2 : start + 8] = new_wc[2:]
-report["eval_ba"] = evaluate_sequence(refined, gt)
-print("BA eval:", report["eval_ba"], flush=True)
+    depths.append(d)
+depths = np.concatenate(depths)
+
+apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
+rels = predict_sequence(apply_fn, frames[: NBA + 1], seg=segs[: NBA + 1], batch_size=64)
+pred_ba = assemble_trajectory(rels)
+ba_cfg = BAConfig(window_size=8, max_iterations=6, damping=1e-3, huber_delta=3.0)
+t0 = time.time()
+refined = refine_trajectory_tracked(
+    ba_cfg, pred_ba, depths, eval_seq.K, flow_fn, grid_step=8
+)
+report["ba"] = {
+    "before": evaluate_sequence(pred_ba, gt[: NBA + 1]),
+    "after": evaluate_sequence(refined, gt[: NBA + 1]),
+    "ba_s": time.time() - t0,
+}
+print("BA:", json.dumps(report["ba"], default=float), flush=True)
+
+# ---- Tier B: unsupervised (reference regime) -------------------------
+tier_b = run_tier("unsup", 0.0, STEPS)
+report["unsupervised"] = {
+    k: v for k, v in tier_b.items() if k != "model_state"
+}
+print("TIER B eval (aligned):",
+      json.dumps(report["unsupervised"]["eval_scale_aligned"]), flush=True)
+ratio = (
+    tier_b["eval_scale_aligned"]["snippet_ate_mean"]
+    / max(tier_a["eval_raw"]["snippet_ate_mean"], 1e-9)
+)
+report["unsup_over_sup_snippet_ate"] = ratio
+print(f"unsup/sup snippet ATE ratio: {ratio:.2f}", flush=True)
 
 with open(OUT, "w") as f:
     json.dump(report, f, indent=2, default=float)
