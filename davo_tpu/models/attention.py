@@ -75,14 +75,8 @@ def region_weight_map(
     return wmap
 
 
-def region_weight_map_ep(
-    weights: jnp.ndarray,
-    seg_onehot: jnp.ndarray,
-    hw: tuple[int, int],
-    mesh,
-    axis: str = "model",
-):
-    """Expert-parallel region fusion (SURVEY.md §2.2 P5).
+def make_region_weight_map_ep(mesh, axis: str = "model"):
+    """Expert-parallel region fusion (SURVEY.md §2.2 P5) — factory.
 
     The 19 semantic-region branches are the natural expert axis: each
     device owns a contiguous region chunk, computes its partial
@@ -90,22 +84,16 @@ def region_weight_map_ep(
     region axis fuses them. Semantically identical to
     `region_weight_map` (tests pin equality); the K axis is padded to
     the axis size.
+
+    Returns a JITTED (weights, seg_onehot, hw) -> (B, h, w, 1) closure:
+    the region-axis resharding is part of the compiled program (GSPMD
+    inserts the layout change), not a per-call host `device_put`.
     """
     from functools import partial
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-    B, H, W, K = seg_onehot.shape
-    h, w = hw
     n = mesh.shape[axis]
-    pad = (-K) % n
-    if pad:
-        seg_onehot = jnp.pad(seg_onehot, ((0, 0),) * 3 + ((0, pad),))
-        weights = jnp.pad(weights, ((0, 0), (0, pad)))
-    seg_onehot = jax.device_put(
-        seg_onehot, NamedSharding(mesh, P(None, None, None, axis))
-    )
-    weights = jax.device_put(weights, NamedSharding(mesh, P(None, axis)))
 
     @partial(
         jax.shard_map,
@@ -118,10 +106,31 @@ def region_weight_map_ep(
         partial_map = jnp.einsum("bhwk,bk->bhw", oh_local, w_local)
         return jax.lax.psum(partial_map, axis)
 
-    wmap = fuse(weights, seg_onehot)[..., None]
-    if (H, W) != (h, w) and H % h == 0 and W % w == 0:
-        win = (1, H // h, W // w, 1)
-        wmap = jax.lax.reduce_window(
-            wmap, 0.0, jax.lax.add, win, win, "VALID"
-        ) / float(win[1] * win[2])
-    return wmap
+    @partial(jax.jit, static_argnames=("hw",))
+    def apply(weights, seg_onehot, hw):
+        B, H, W, K = seg_onehot.shape
+        h, w = hw
+        pad = (-K) % n
+        if pad:
+            seg_onehot = jnp.pad(seg_onehot, ((0, 0),) * 3 + ((0, pad),))
+            weights = jnp.pad(weights, ((0, 0), (0, pad)))
+        wmap = fuse(weights, seg_onehot)[..., None]
+        if (H, W) != (h, w) and H % h == 0 and W % w == 0:
+            win = (1, H // h, W // w, 1)
+            wmap = jax.lax.reduce_window(
+                wmap, 0.0, jax.lax.add, win, win, "VALID"
+            ) / float(win[1] * win[2])
+        return wmap
+
+    return apply
+
+
+def region_weight_map_ep(
+    weights: jnp.ndarray,
+    seg_onehot: jnp.ndarray,
+    hw: tuple[int, int],
+    mesh,
+    axis: str = "model",
+):
+    """One-shot convenience over `make_region_weight_map_ep`."""
+    return make_region_weight_map_ep(mesh, axis)(weights, seg_onehot, hw)
