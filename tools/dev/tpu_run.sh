@@ -1,12 +1,20 @@
 #!/bin/bash
-# Run a python script on the TPU tunnel with retries (claim contention
-# after killed processes causes startup hangs; back off and retry).
-script="$1"; timeout_s="${2:-300}"; tries="${3:-3}"
+# Run a python script on the TPU tunnel. The chip claim can hang
+# indefinitely after a killed TPU process, so FIRST cycle a cheap probe
+# (90 s timeout, up to $tries attempts with 60 s backoff) until the
+# chip answers, THEN run the main script once with the full timeout.
+script="$1"; timeout_s="${2:-300}"; tries="${3:-5}"
+probe='import jax, jax.numpy as jnp; print(float(jax.jit(lambda x: x.sum())(jnp.ones((128,128))).block_until_ready()))'
 for i in $(seq 1 "$tries"); do
-  timeout "$timeout_s" python -u "$script" 2>&1 | grep --line-buffered -v -E "WARNING|axon_terminal::http.*WARN"
-  code=${PIPESTATUS[0]}
-  if [ "$code" -ne 124 ] && [ "$code" -ne 143 ]; then exit "$code"; fi
-  echo "[tpu_run] attempt $i timed out (code $code); backing off 60s" >&2
+  if timeout 90 python -c "$probe" > /dev/null 2>&1; then
+    break
+  fi
+  echo "[tpu_run] probe attempt $i failed; backing off 60s" >&2
   sleep 60
+  if [ "$i" -eq "$tries" ]; then
+    echo "[tpu_run] chip never answered after $tries probes" >&2
+    exit 124
+  fi
 done
-exit 124
+timeout "$timeout_s" python -u "$script" 2>&1 | grep --line-buffered -v -E "WARNING|axon_terminal::http.*WARN"
+exit "${PIPESTATUS[0]}"
