@@ -33,6 +33,11 @@ class ModelConfig:
     # 2717 fps e2e). Off by default until the fused estimator kernel
     # absorbs it (r2).
     use_pallas: bool = False
+    # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
+    # reduces; "gram" = per-row-shift channel Gram matmuls on the MXU
+    # with strided-slice diagonal extraction (identical output;
+    # flownet.cost_volume_gram).
+    costvol_impl: str = "slices"
 
 
 @dataclass(frozen=True)

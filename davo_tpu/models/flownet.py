@@ -45,6 +45,50 @@ def cost_volume(f1: jnp.ndarray, f2: jnp.ndarray, search: int) -> jnp.ndarray:
     return jnp.stack(slices, axis=-1)
 
 
+def cost_volume_gram(
+    f1: jnp.ndarray, f2: jnp.ndarray, search: int
+) -> jnp.ndarray:
+    """MXU formulation of `cost_volume` (identical output).
+
+    The (2s+1)^2-slice form is a VPU elementwise multiply-reduce per
+    shift (~5 ms of the 14.5 ms r2 flagship forward). Here, for each of
+    the 2s+1 row shifts dy, one batched Gram matmul over the channel
+    axis computes ALL column correlations at once —
+    ``G[b,y,x,v] = sum_c f1[b,y,x,c] * f2p[b,y+dy,v,c]`` — and the
+    (2s+1) needed diagonals ``out[...,dx] = G[b,y,x,x+dx]`` come out as
+    STRIDED slices of the flattened last two axes (stride W'+1; no
+    gather — the same trick as `core.warp.flow_warp_separable`). The
+    off-band Gram entries are wasted FLOPs (~11x at /4), but they run
+    at MXU rather than VPU rates. bf16 operands, f32 accumulation.
+    """
+    B, H, W, C = f1.shape
+    d = 2 * search + 1
+    Wp = W + 2 * search
+    f2p = jnp.pad(f2, ((0, 0), (search, search), (search, search), (0, 0)))
+    a = f1.astype(jnp.bfloat16)
+    slices = []
+    for dy in range(d):
+        rows = jax.lax.dynamic_slice(f2p, (0, dy, 0, 0), (B, H, Wp, C))
+        G = jax.lax.dot_general(
+            a,
+            rows.astype(jnp.bfloat16),
+            (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )  # (B, H, W, Wp)
+        Gf = G.reshape(B, H, W * Wp)
+        for dx in range(d):
+            # out[x] = Gf[x*(Wp+1) + dx]; (W-1)*(Wp+1)+d == W*Wp exactly.
+            slices.append(
+                jax.lax.slice(
+                    Gf,
+                    (0, 0, dx),
+                    (B, H, dx + (W - 1) * (Wp + 1) + 1),
+                    (1, 1, Wp + 1),
+                )
+            )
+    return jnp.stack(slices, axis=-1) / C
+
+
 class FeaturePyramid(nn.Module):
     cfg: ModelConfig
 
@@ -117,11 +161,12 @@ class FlowNetLite(nn.Module):
                 # of the 31 ms forward on TPU (r2 profile); the smooth
                 # upsampled field makes the two-pass form near-exact.
                 f2w, _ = flow_warp_separable(f2, flow_up)
-            cv_fn = (
-                cost_volume_pallas
-                if self.cfg.use_pallas and jax.default_backend() == "tpu"
-                else cost_volume
-            )
+            if self.cfg.use_pallas and jax.default_backend() == "tpu":
+                cv_fn = cost_volume_pallas
+            elif self.cfg.costvol_impl == "gram":
+                cv_fn = cost_volume_gram
+            else:
+                cv_fn = cost_volume
             cv = nn.relu(
                 cv_fn(f1.astype(jnp.float32), f2w.astype(jnp.float32), search)
             )

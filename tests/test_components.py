@@ -170,3 +170,44 @@ class TestCLI:
         with open(refined) as f:
             rp = parse_poses(f.read())
         assert rp.shape == (32, 4, 4)
+
+
+class TestRecordedExperiments:
+    """Regression gates on committed experiment artifacts.
+
+    The full experiments are hours of TPU time (tools/dev/
+    exp_attention_ablation.py, train_e2e.py); CI pins the recorded
+    outcome so a regressing re-run cannot be committed silently.
+    Tests skip when the artifact is absent (fresh checkout mid-round).
+    """
+
+    ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+    def _load(self, name):
+        path = os.path.join(self.ROOT, name)
+        if not os.path.exists(path):
+            pytest.skip(f"{name} not recorded yet")
+        with open(path) as f:
+            return json.load(f)
+
+    def test_attention_ablation_ordering(self):
+        """Paper's claim (SURVEY R6): on dynamic scenes, flow_seg
+        attention must beat no-attention on snippet ATE."""
+        rep = self._load("attention_ablation.json")
+        v = rep["variants"]
+        assert rep["flow_seg_vs_none"] < 1.0
+        assert (
+            v["flow_seg"]["snippet_ate_mean"] < v["none"]["snippet_ate_mean"]
+        )
+
+    def test_e2e_depth_and_finite_metrics(self):
+        """VERDICT r1 #4/#5: supervised tier depth within 25% of GT and
+        finite t_err/r_err end-to-end on a KITTI-scale world."""
+        rep = self._load("results_r2_e2e.json")
+        sup = rep["supervised"]
+        ratio = sup["depth_med"] / sup["gt_depth_med"]
+        assert 0.75 < ratio < 1.25
+        assert np.isfinite(sup["eval_raw"]["t_err_pct"])
+        assert np.isfinite(sup["eval_raw"]["r_err_deg_per_100m"])
+        # Unsupervised (reference-regime) tier within ~2x of supervised.
+        assert rep["unsup_over_sup_snippet_ate"] < 2.0

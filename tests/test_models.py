@@ -144,6 +144,24 @@ class TestFlowNet:
         interior = np.asarray(cv)[0, 2:-2, 2:-2]
         assert np.all(interior.argmax(axis=-1) == 2 * 5 + 3)  # dy=0, dx=+1
 
+    def test_cost_volume_gram_matches_slices(self):
+        """MXU Gram formulation == reference slice formulation.
+
+        bf16 operands bound the tolerance (~3 decimal digits on unit-
+        scale features); the diagonal extraction itself is exact."""
+        from davo_tpu.models.flownet import cost_volume_gram
+
+        rng = np.random.default_rng(3)
+        for H, W, C, s in ((8, 8, 32, 2), (6, 26, 16, 4), (5, 13, 8, 3)):
+            f1 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            f2 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            ref = cost_volume(f1, f2, search=s)
+            got = cost_volume_gram(f1, f2, search=s)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2
+            )
+
     def test_pyramid_shapes(self, batch):
         net = FlowNetLite(CFG)
         params = net.init(

@@ -14,8 +14,12 @@ Usage: tools/dev/tpu_run.sh tools/dev/train_e2e.py <timeout> 1
 """
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 sys.path.insert(0, "/root/repo")
 
