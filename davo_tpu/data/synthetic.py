@@ -74,6 +74,7 @@ class SyntheticSequence:
         trajectory: str = "forward",
         texture_mode: str = "grid",
         loop_radius: float | None = None,
+        loop_roll: bool = False,
     ):
         self.n_frames = n_frames
         self.height = height
@@ -179,6 +180,21 @@ class SyntheticSequence:
                 T = np.eye(4)
                 T[0, 3] = r * (np.cos(th) - np.cos(theta0))
                 T[1, 3] = r * (np.sin(th) - np.sin(theta0))
+                if loop_roll:
+                    # Roll the camera about its view axis so the motion
+                    # tangent is always the camera +x axis: in camera
+                    # coordinates the motion becomes a near-constant
+                    # [speed, ~0, 0] plus a true speed/r rad/frame roll
+                    # — the KITTI structure (dominant fixed-axis
+                    # translation + small real rotation the net must
+                    # read from the flow field), instead of a strafing
+                    # translation whose direction rotates through 2*pi
+                    # while GT rotation is pure jitter.
+                    a = th + np.pi / 2  # tangent of (cos, sin) circle
+                    ca, sa = np.cos(a), np.sin(a)
+                    T[:3, :3] = np.array(
+                        [[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]]
+                    )
                 poses.append(T)
             for t in range(1, n_frames):
                 xi = np.concatenate(

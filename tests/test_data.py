@@ -313,6 +313,49 @@ class TestLoopWorld:
         err = (np.abs(np.asarray(recon - tgt)).mean(-1) * v).sum() / v.sum()
         assert err < 0.02, err
 
+    def test_loop_roll_camera_frame_motion(self):
+        """loop_roll=True: motion in CAMERA coordinates is a
+        near-constant +x translation plus a true speed/r roll — the
+        KITTI structure (dominant fixed-axis translation + small real
+        rotation). The strafing loop (loop_roll=False) is unlearnable
+        for a supervised pose net: its translation direction sweeps 2*pi
+        while GT rotation is pure jitter (measured: pose_sup stalls at
+        ~0.5 vs 0.007 on forward worlds)."""
+        s = SyntheticSequence(
+            n_frames=40, height=16, width=16, seed=6, plane_z=30.0,
+            forward_speed=0.8, trajectory="loop", loop_roll=True,
+            texture_mode="procedural", jitter=0.0, rot_jitter=0.0,
+        )
+        rels = np.stack(
+            [s.warp_pose(t, t - 1) for t in range(1, 40)]
+        )
+        t_cam = rels[:, :3, 3]
+        # +x dominant, constant across the loop
+        np.testing.assert_allclose(t_cam[:, 0], t_cam[0, 0], rtol=1e-6)
+        assert abs(t_cam[0, 0]) > 0.79
+        assert np.all(np.abs(t_cam[:, 2]) < 0.02)
+        # constant roll of speed/r radians about the view axis
+        cos_roll = rels[:, 0, 0]
+        roll = np.arccos(np.clip(cos_roll, -1, 1))
+        np.testing.assert_allclose(roll, 0.8 / 30.0, rtol=1e-5)
+        np.testing.assert_allclose(rels[:, 2, 2], 1.0, atol=1e-9)
+
+    def test_loop_roll_warp_consistent(self):
+        s = SyntheticSequence(
+            n_frames=12, height=48, width=64, seed=7, plane_z=30.0,
+            forward_speed=0.8, trajectory="loop", loop_roll=True,
+            texture_mode="procedural",
+        )
+        tgt = jnp.asarray(s.frame(5))[None]
+        src = jnp.asarray(s.frame(6))[None]
+        depth = jnp.asarray(s.depth(5))[None]
+        pose = jnp.asarray(s.warp_pose(5, 6), jnp.float32)[None]
+        K = jnp.asarray(s.K, jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        v = np.asarray(valid).reshape(1, 48, 64)
+        err = (np.abs(np.asarray(recon - tgt)).mean(-1) * v).sum() / v.sum()
+        assert err < 0.02, err
+
     def test_segment_errors_finite_at_scale(self):
         from davo_tpu.eval.metrics import kitti_seg_errors
 

@@ -44,9 +44,12 @@ H, W = base.model.img_height, base.model.img_width
 
 WORLD_KW = dict(
     height=H, width=W, plane_z=30.0, forward_speed=0.8,
-    trajectory="loop", texture_mode="procedural",
+    trajectory="loop", loop_roll=True, texture_mode="procedural",
     n_dynamic=4, dynamic_speed=0.6,
 )
+# loop_roll=True: learnable camera-frame motion (see train_e2e.py) —
+# on strafing loops every variant fails the base task and the
+# none/flow/flow_seg ordering is noise.
 train_worlds = [
     SyntheticSequence(n_frames=24, seed=s, **WORLD_KW) for s in range(1, 13)
 ]

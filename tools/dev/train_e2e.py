@@ -51,11 +51,23 @@ H, W = base.model.img_height, base.model.img_width
 
 WORLD_KW = dict(
     height=H, width=W, plane_z=30.0, forward_speed=0.8,
-    trajectory="loop", texture_mode="procedural",
+    trajectory="loop", loop_roll=True, texture_mode="procedural",
 )
+# loop_roll: motion in camera frame = constant +x translation + true
+# speed/r roll (KITTI structure). The strafing loop (roll=False) is
+# unlearnable for the pose net — its translation direction sweeps 2*pi
+# with no orientation cue; measured: pose_sup stalls at ~0.46 after
+# 2,500 TPU steps vs 0.017 by step 150 on roll worlds.
 
+# Radius spread spans roll rates 0.027..0.005 rad/frame so the net
+# interpolates to the eval world's ~0.008 (24-frame worlds would all
+# clamp to the 30 m minimum radius otherwise).
 train_worlds = [
-    SyntheticSequence(n_frames=24, seed=s, **WORLD_KW) for s in range(1, 17)
+    SyntheticSequence(
+        n_frames=24, seed=s,
+        loop_radius=(30.0, 60.0, 100.0, 160.0)[s % 4], **WORLD_KW,
+    )
+    for s in range(1, 17)
 ]
 eval_seq = SyntheticSequence(n_frames=EVAL_FRAMES, seed=99, **WORLD_KW)
 frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
