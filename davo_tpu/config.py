@@ -45,6 +45,9 @@ class TrainConfig:
     batch_size: int = 4
     learning_rate: float = 2e-4
     beta1: float = 0.9
+    # "constant" mirrors the reference's fixed-lr Adam; "cosine" decays
+    # to lr/100 over max_steps (tighter convergence on short runs).
+    lr_schedule: str = "constant"
     max_steps: int = 200_000
     smooth_weight: float = 0.5
     ssim_weight: float = 0.85    # mix: ssim_weight*SSIM + (1-w)*L1

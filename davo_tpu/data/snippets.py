@@ -168,7 +168,15 @@ class SnippetDataset:
         seg = self.source.seg(t).astype(np.int32) if self.with_seg else None
         if self.augment:
             frames = self._color_jitter(frames)
-            frames, seg, K = self._scale_crop(frames, seg, K)
+            if self.augment != "color":
+                # Zoom+crop is an intrinsics change: consistent for
+                # photometric training (K follows), but it makes the
+                # GT translation MAGNITUDE unobservable to a net that
+                # never sees K — supervised tiers plateau at the zoom
+                # ambiguity (measured: pose_sup floor ~0.017 == the
+                # 1.0..1.15 zoom range on 0.8 m steps). Pass
+                # augment="color" for GT-pose supervision.
+                frames, seg, K = self._scale_crop(frames, seg, K)
         target = frames[k]
         sources = np.stack(frames[:k] + frames[k + 1 :], 0)
         out = {

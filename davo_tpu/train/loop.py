@@ -30,6 +30,16 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _make_tx(cfg: Config) -> optax.GradientTransformation:
+    if cfg.train.lr_schedule == "cosine":
+        lr = optax.cosine_decay_schedule(
+            cfg.train.learning_rate, cfg.train.max_steps, alpha=0.01
+        )
+    else:
+        lr = cfg.train.learning_rate
+    return optax.adam(lr, b1=cfg.train.beta1)
+
+
 def create_state(
     cfg: Config, rng: jax.Array, sample_batch: dict
 ) -> tuple[DavoModel, TrainState, optax.GradientTransformation]:
@@ -44,7 +54,7 @@ def create_state(
             else None
         ),
     )
-    tx = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1)
+    tx = _make_tx(cfg)
     state = TrainState(
         params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32)
     )
@@ -158,7 +168,7 @@ def fit(
             cfg, jax.random.key(cfg.train.seed), first
         )
     else:
-        tx = optax.adam(cfg.train.learning_rate, b1=cfg.train.beta1)
+        tx = _make_tx(cfg)
     step_fn = make_train_step(model, tx, cfg)
     summary_fn = None
     if metrics_logger is not None and cfg.train.image_every > 0:

@@ -460,6 +460,18 @@ class TestSnippets:
         assert batch["target"].shape == (2, 48, 64, 3)
         assert batch["target"].min() >= 0.0 and batch["target"].max() <= 1.0
 
+    def test_augment_color_skips_scale_crop(self, seq):
+        """augment="color": photometric jitter only — K (and therefore
+        the image-to-metric mapping GT-pose supervision relies on)
+        stays untouched."""
+        ds = SnippetDataset(seq, batch_size=2, augment="color", seed=1)
+        batch = next(ds.batches(steps=1))
+        np.testing.assert_array_equal(batch["K"][0], seq.K.astype(np.float32))
+        # Full augment does perturb K (zoomed focal) for some draws.
+        ds_full = SnippetDataset(seq, batch_size=4, augment=True, seed=1)
+        bf = next(ds_full.batches(steps=1))
+        assert not np.allclose(bf["K"], seq.K[None].astype(np.float32))
+
     def test_too_short_sequence_yields_nothing(self):
         """Regression: used to spin forever when no snippet fits."""
         tiny = SyntheticSequence(n_frames=2, height=16, width=16)

@@ -162,6 +162,34 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.9
         assert int(state.step) == 25
 
+    def test_cosine_schedule_trains_and_decays(self, dataset):
+        """lr_schedule="cosine": still learns, and by max_steps the
+        effective lr has decayed (update magnitude shrinks ~100x)."""
+        import optax
+
+        from davo_tpu.train.loop import _make_tx
+
+        cfg = Config(
+            model=TINY,
+            train=TrainConfig(
+                batch_size=2, learning_rate=1e-3, lr_schedule="cosine",
+                max_steps=20, pose_supervision_weight=10.0,
+            ),
+        )
+        batch = next(dataset.batches(steps=1))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        model, state, tx = create_state(cfg, jax.random.key(0), batch)
+        step = make_train_step(model, tx, cfg)
+        losses = []
+        for _ in range(20):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["total"]))
+        assert losses[-1] < losses[0]
+        # The schedule itself: alpha=0.01 of peak at max_steps.
+        sched = optax.cosine_decay_schedule(1e-3, 20, alpha=0.01)
+        assert float(sched(20)) < 1.1e-5
+        assert float(sched(0)) == pytest.approx(1e-3)
+
     def test_checkpoint_roundtrip(self, dataset, tmp_path):
         cfg = Config(model=TINY, train=TrainConfig(batch_size=2, max_steps=1))
         batch = {k: jnp.asarray(v) for k, v in next(dataset.batches(steps=1)).items()}

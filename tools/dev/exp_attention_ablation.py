@@ -68,7 +68,8 @@ for variant in ("none", "flow", "flow_seg"):
     cfg = Config(
         model=dataclasses.replace(base.model, attention=variant),
         train=TrainConfig(
-            batch_size=16, learning_rate=4e-3, max_steps=STEPS,
+            batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
+            max_steps=STEPS,
             pose_supervision_weight=0.0, smooth_weight=0.1,
             log_every=max(STEPS // 8, 1),
         ),

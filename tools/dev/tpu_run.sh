@@ -7,7 +7,8 @@
 # handshake; kill it, back off, relaunch. A process past startup runs
 # to completion under the full timeout. Output streams to $LOG (tail
 # it for live progress) and is echoed, filtered, at the end.
-script="$1"; timeout_s="${2:-300}"; tries="${3:-5}"
+# $1 may be "script.py arg1 arg2": split into script + args.
+read -r script scriptargs <<< "$1"; timeout_s="${2:-300}"; tries="${3:-5}"
 LOG="${TPU_RUN_LOG:-/tmp/tpu_run_$$.log}"
 echo "[tpu_run] log: $LOG" >&2
 probe='import jax, jax.numpy as jnp; print(float(jax.jit(lambda x: x.sum())(jnp.ones((128,128))).block_until_ready()))'
@@ -23,7 +24,7 @@ done
 sleep 10
 for i in $(seq 1 "$tries"); do
   : > "$LOG"
-  timeout "$timeout_s" python -u "$script" >> "$LOG" 2>&1 &
+  timeout "$timeout_s" python -u "$script" $scriptargs >> "$LOG" 2>&1 &
   tpid=$!
   sleep 120
   pypid=$(pgrep -P "$tpid" | head -1)

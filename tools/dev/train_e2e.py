@@ -80,14 +80,17 @@ def run_tier(name: str, sup_weight: float, steps: int) -> dict:
     cfg = Config(
         model=base.model,
         train=TrainConfig(
-            batch_size=16, learning_rate=4e-3, max_steps=steps,
+            batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
+            max_steps=steps,
             pose_supervision_weight=sup_weight, smooth_weight=0.1,
             log_every=max(steps // 10, 1),
         ),
     )
     ds = MultiSourceDataset(
         train_worlds, batch_size=16, with_seg=True, with_gt=sup_weight > 0,
-        augment=True, seed=0,
+        # Scale/crop zoom makes GT translation magnitude unobservable
+        # (no K input to the net) — color-only for the supervised tier.
+        augment="color" if sup_weight > 0 else True, seed=0,
     )
     t0 = time.time()
     model, state, history = fit(
