@@ -280,6 +280,53 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_eval_depth(args) -> int:
+    """Eigen-style depth evaluation (reference parity:
+    `<ref>/kitti_eval/eval_depth.py`, SURVEY.md R3/R12): per-frame
+    median scaling, [min,max]-depth mask, abs_rel/sq_rel/RMSE/
+    RMSE_log/delta accuracies. Predictions from --depth-dir
+    (`davo-tpu depth` .npy output); GT from the synthetic world or a
+    --gt-dir of matching .npy files."""
+    import os
+
+    import numpy as np
+
+    from davo_tpu.eval.depth_metrics import depth_errors
+
+    files = sorted(
+        f for f in os.listdir(args.depth_dir) if f.endswith(".npy")
+    )
+    if not files:
+        print(f"no .npy depth maps in {args.depth_dir}", file=sys.stderr)
+        return 1
+    pred = np.stack(
+        [np.load(os.path.join(args.depth_dir, f)) for f in files]
+    )
+    if args.gt_dir:
+        gt = np.stack(
+            [np.load(os.path.join(args.gt_dir, f)) for f in files]
+        )
+    elif args.data == "synthetic":
+        from davo_tpu.data.synthetic import SyntheticSequence
+
+        s = SyntheticSequence(
+            n_frames=len(files) + 1,
+            height=pred.shape[1],
+            width=pred.shape[2],
+            seed=int(args.seq or 0),
+        )
+        gt = np.stack([s.depth(i) for i in range(len(files))])
+    else:
+        print("need --gt-dir for non-synthetic data", file=sys.stderr)
+        return 1
+    report = depth_errors(
+        gt, pred, min_depth=args.min_depth, max_depth=args.max_depth,
+        median_scale=not args.no_median_scale,
+    )
+    print(json.dumps(report, indent=2, default=float))
+    return 0
+
+
 def cmd_ba(args) -> int:
     """Sliding-window BA refinement of a predicted trajectory
     (BASELINE config #4 surface). Observations are flow-tracked
@@ -408,6 +455,16 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--snippet-len", type=int, default=5)
     e.add_argument("--devkit", action="store_true", help="also run C++ devkit")
     e.set_defaults(fn=cmd_eval)
+
+    ed = sub.add_parser("eval-depth", help="evaluate depth maps vs GT")
+    ed.add_argument("--depth-dir", required=True)
+    ed.add_argument("--gt-dir", default=None)
+    ed.add_argument("--data", default="synthetic")
+    ed.add_argument("--seq", default="0")
+    ed.add_argument("--min-depth", type=float, default=1e-3)
+    ed.add_argument("--max-depth", type=float, default=80.0)
+    ed.add_argument("--no-median-scale", action="store_true")
+    ed.set_defaults(fn=cmd_eval_depth)
 
     a = sub.add_parser("ba", help="sliding-window BA refinement")
     a.add_argument("--version", default="davo")

@@ -14,3 +14,4 @@ from davo_tpu.eval.metrics import (  # noqa: F401
     trajectory_distances,
 )
 from davo_tpu.eval.runner import predict_sequence, evaluate_sequence  # noqa: F401
+from davo_tpu.eval.depth_metrics import depth_errors  # noqa: F401

@@ -154,6 +154,20 @@ class TestCLI:
         d = np.load(os.path.join(depth_dir, maps[0]))
         assert d.shape == (48, 64) and np.all(d > 0)
 
+        # Eigen-style depth metrics vs the synthetic GT (R3/R12)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "davo_tpu.cli.main", "eval-depth",
+                "--depth-dir", depth_dir, "--data", "synthetic",
+                "--seq", "0",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        dm = json.loads(r.stdout)
+        assert np.isfinite(dm["abs_rel"]) and dm["n_valid"] > 0
+        assert 0.0 <= dm["a1"] <= 1.0
+
         # BA refinement of the predicted trajectory
         refined = str(tmp_path / "refined.txt")
         r = subprocess.run(

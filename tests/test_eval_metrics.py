@@ -144,3 +144,69 @@ class TestQuaternionsAndTUM:
         t2, p2 = parse_poses_tum(text)
         np.testing.assert_allclose(t2, times, atol=1e-6)
         np.testing.assert_allclose(p2, poses, atol=1e-5)
+
+
+class TestDepthErrors:
+    """Eigen-style depth metrics (SURVEY.md R3/R12): exact-GT == 0
+    errors / 1.0 accuracies; analytic values for known corruptions."""
+
+    def _gt(self, n=3, h=8, w=10):
+        rng = np.random.default_rng(0)
+        return rng.uniform(2.0, 50.0, size=(n, h, w))
+
+    def test_exact_is_perfect(self):
+        from davo_tpu.eval.depth_metrics import depth_errors
+
+        gt = self._gt()
+        r = depth_errors(gt, gt.copy())
+        assert r["abs_rel"] == 0.0 and r["rmse"] == 0.0
+        assert r["a1"] == 1.0 and r["a3"] == 1.0
+        assert r["scale_med"] == pytest.approx(1.0)
+        assert r["n_valid"] == gt.size
+
+    def test_median_scaling_removes_global_scale(self):
+        from davo_tpu.eval.depth_metrics import depth_errors
+
+        gt = self._gt()
+        r = depth_errors(gt, 0.37 * gt)
+        assert r["abs_rel"] == pytest.approx(0.0, abs=1e-12)
+        assert r["scale_med"] == pytest.approx(1 / 0.37)
+        # Without scaling, abs_rel is exactly |1 - 0.37| (pred clipped
+        # only outside [min,max], which 0.37*gt stays inside).
+        r2 = depth_errors(gt, 0.37 * gt, median_scale=False)
+        assert r2["abs_rel"] == pytest.approx(0.63, abs=1e-9)
+        assert r2["a1"] == 0.0  # ratio 1/0.37 > 1.25^3 everywhere
+
+    def test_known_multiplicative_error(self):
+        from davo_tpu.eval.depth_metrics import depth_errors
+
+        gt = self._gt()
+        # Half the pixels at 1.2x, half at 1/1.2 -> median scale 1,
+        # abs_rel mixes |0.2| and |1-1/1.2|.
+        pred = gt.copy()
+        pred[..., ::2] *= 1.2
+        pred[..., 1::2] /= 1.2
+        r = depth_errors(gt, pred)
+        assert r["a1"] == 1.0  # 1.2 < 1.25
+        expected = 0.5 * (0.2 + (1 - 1 / 1.2))
+        # Median scaling is ~1 but not exact on the mixed-scale pred.
+        assert r["abs_rel"] == pytest.approx(expected, rel=5e-2)
+
+    def test_mask_excludes_out_of_range(self):
+        from davo_tpu.eval.depth_metrics import depth_errors
+
+        gt = self._gt()
+        pred = gt.copy()
+        gt[0, 0, 0] = 500.0   # beyond max_depth: masked out
+        gt[0, 0, 1] = 1e-6    # below min_depth: masked out
+        pred[0, 0, 0] = 1.0   # would be a huge error if counted
+        r = depth_errors(gt, pred)
+        assert r["abs_rel"] == pytest.approx(0.0, abs=1e-12)
+        assert r["n_valid"] == gt.size - 2
+
+    def test_all_masked_is_nan(self):
+        from davo_tpu.eval.depth_metrics import depth_errors
+
+        gt = np.full((2, 4, 4), 1000.0)
+        r = depth_errors(gt, gt)
+        assert np.isnan(r["abs_rel"]) and r["n_valid"] == 0
