@@ -25,6 +25,12 @@ class ModelConfig:
     disp_channels: tuple = (32, 64, 128, 256, 512, 512, 512)
     flow_levels: int = 4
     flow_search_range: int = 4
+    # >0: 1x1 reduction to this many channels before each estimator's
+    # 3x3 stack. The concat input (cost volume + features + flow) is
+    # ~115-145 ch; the 3x3s hold ~60 % of the flagship FLOPs, and a
+    # 1x1 front halves them (9x cheaper per channel). 0 = paper-parity
+    # (no bottleneck).
+    flow_est_bottleneck: int = 0
     attention: str = "flow_seg"  # none | flow | flow_seg (paper's full model)
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)

@@ -111,6 +111,15 @@ class FlowEstimator(nn.Module):
     def __call__(self, cv, feat, flow_up):
         dt = dtype_of(self.cfg.compute_dtype)
         x = jnp.concatenate([cv.astype(dt), feat, flow_up.astype(dt)], axis=-1)
+        if self.cfg.flow_est_bottleneck > 0:
+            # 1x1 channel reduction: the 3x3 stack below dominates the
+            # flagship's FLOPs; feeding it `bottleneck` instead of the
+            # ~115-145-ch concat halves the estimator cost (measured
+            # r2; quality-gated by the e2e tiers before any preset
+            # adopts it).
+            x = ConvBlock(
+                self.cfg.flow_est_bottleneck, 1, 1, dt, name="est_in"
+            )(x)
         for i, ch in enumerate((96, 64, 32)):
             x = ConvBlock(ch, 3, 1, dt, name=f"est{i}")(x)
         delta = nn.Conv(

@@ -183,6 +183,39 @@ class TestFlowNet:
         np.testing.assert_allclose(np.asarray(full[..., 1]), 3.0, atol=1e-5)
 
 
+    def test_estimator_bottleneck(self, batch):
+        """flow_est_bottleneck: same output pyramid shapes, an est_in
+        1x1 layer in the params, and strictly fewer estimator weights
+        than the paper-parity stack."""
+        import dataclasses
+
+        import jax.tree_util as jtu
+
+        from davo_tpu.models.flownet import FlowNetLite
+
+        def est_params(cfg):
+            net = FlowNetLite(cfg)
+            params = net.init(
+                jax.random.key(0), batch["target"], batch["sources"][:, 0]
+            )
+            flows = net.apply(
+                params, batch["target"], batch["sources"][:, 0]
+            )
+            assert len(flows) == cfg.flow_levels - 1
+            est = params["params"]["estimator1"]
+            return est, sum(
+                x.size for x in jtu.tree_leaves(params)
+            )
+
+        base_est, base_n = est_params(CFG)
+        bn_est, bn_n = est_params(
+            dataclasses.replace(CFG, flow_est_bottleneck=8)
+        )
+        assert "est_in" not in base_est and "est_in" in bn_est
+        assert bn_est["est_in"]["Conv_0"]["kernel"].shape[-1] == 8
+        assert bn_n < base_n
+
+
 class TestAttention:
     def test_weights_normalized(self, batch):
         net = RegionAttention(CFG)

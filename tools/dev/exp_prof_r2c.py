@@ -87,6 +87,12 @@ def main():
     bench("search=3 (49ch cv)", dataclasses.replace(base, flow_search_range=3))
     bench("search=2 (25ch cv)", dataclasses.replace(base, flow_search_range=2))
     bench("flow_levels=3", dataclasses.replace(base, flow_levels=3))
+    bench("est bottleneck=48",
+          dataclasses.replace(base, flow_est_bottleneck=48))
+    bench("est bottleneck=32",
+          dataclasses.replace(base, flow_est_bottleneck=32))
+    bench("bneck=48 + search=3", dataclasses.replace(
+        base, flow_est_bottleneck=48, flow_search_range=3))
     bench("attention=flow (no regions)",
           dataclasses.replace(base, attention="flow"))
     bench("attention=none (no flownet)",

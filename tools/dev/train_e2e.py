@@ -125,6 +125,10 @@ def run_tier(name: str, sup_weight: float, steps: int) -> dict:
     )
     tier["depth_med"] = float(np.median(d))
     tier["gt_depth_med"] = gt_depth_med
+    from davo_tpu.eval.depth_metrics import depth_errors
+
+    gt_d = np.stack([eval_seq.depth(i) for i in range(1, 17)])
+    tier["depth_metrics"] = depth_errors(gt_d, d)
 
     # C++ devkit cross-check on the (aligned for tier B) trajectory.
     try:
