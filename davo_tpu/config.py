@@ -23,6 +23,12 @@ class ModelConfig:
     # Network widths (reference-family sizes, lane-aligned where cheap).
     pose_channels: tuple = (16, 32, 64, 128, 256, 256, 256)
     disp_channels: tuple = (32, 64, 128, 256, 512, 512, 512)
+    # DispNet encoder family (SURVEY.md R5: the reference's nets.py
+    # ships both a plain conv and a ResNet disp encoder, selected by
+    # --version): "conv" = stride-2 conv pairs; "resnet" = residual
+    # basic blocks (projection shortcuts), same widths/levels so the
+    # skip-connected decoder is shared.
+    disp_encoder: str = "conv"
     flow_levels: int = 4
     flow_search_range: int = 4
     # >0: 1x1 reduction to this many channels before each estimator's

@@ -75,10 +75,43 @@ def disp_to_depth_ref(disp: jnp.ndarray) -> jnp.ndarray:
     return 1.0 / (DISP_SCALING * disp + MIN_DISP)
 
 
+class ResBlock(nn.Module):
+    """Pre-ReLU residual basic block (two 3x3 convs + projection
+    shortcut on stride/width change). No norm layers, matching the
+    conv encoder's norm-free design."""
+
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding="SAME", dtype=self.dtype, param_dtype=jnp.float32,
+            name="conv1",
+        )(x)
+        h = nn.relu(h)
+        h = nn.Conv(
+            self.features, (3, 3), padding="SAME", dtype=self.dtype,
+            param_dtype=jnp.float32, name="conv2",
+        )(h)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                dtype=self.dtype, param_dtype=jnp.float32, name="proj",
+            )(x)
+        return nn.relu(x + h)
+
+
 class DispNet(nn.Module):
     """Multi-scale disparity: returns `num_scales` maps, full-res first.
 
     Each output is a sigmoid in (0, 1); callers use `disp_to_depth`.
+    Encoder selected by `cfg.disp_encoder` ("conv" | "resnet" —
+    SURVEY.md R5: the reference ships `disp_net` and a ResNet variant
+    behind --version); both produce identical skip shapes, so the
+    decoder is shared.
     """
 
     cfg: ModelConfig
@@ -88,12 +121,20 @@ class DispNet(nn.Module):
         dt = dtype_of(self.cfg.compute_dtype)
         x = img.astype(dt)
 
-        # Encoder: stride-2 conv pairs, widths from config.
+        # Encoder: one stride-2 level per configured width.
         skips = []
         for i, ch in enumerate(self.cfg.disp_channels):
-            k = 7 if i == 0 else (5 if i == 1 else 3)
-            x = ConvBlock(ch, k, 2, dt, name=f"enc{i}")(x)
-            x = ConvBlock(ch, 3, 1, dt, name=f"enc{i}b")(x)
+            if self.cfg.disp_encoder == "resnet":
+                if i == 0:  # stem: large receptive field, like the 7x7
+                    x = ConvBlock(ch, 7, 2, dt, name=f"enc{i}")(x)
+                    x = ResBlock(ch, 1, dt, name=f"enc{i}b")(x)
+                else:
+                    x = ResBlock(ch, 2, dt, name=f"enc{i}")(x)
+                    x = ResBlock(ch, 1, dt, name=f"enc{i}b")(x)
+            else:
+                k = 7 if i == 0 else (5 if i == 1 else 3)
+                x = ConvBlock(ch, k, 2, dt, name=f"enc{i}")(x)
+                x = ConvBlock(ch, 3, 1, dt, name=f"enc{i}b")(x)
             skips.append(x)
 
         # Decoder with skips; disparity heads on the last num_scales levels.

@@ -42,6 +42,9 @@ def _base(**model_kw) -> Config:
 register("base", _base(attention="none"))          # plain SfMLearner-style
 register("flow", _base(attention="flow"))          # flow cue, no regions
 register("davo", _base(attention="flow_seg"))      # full paper model
+register(  # ResNet disp encoder (reference's disp_net_res variant)
+    "davo-res", _base(attention="flow_seg", disp_encoder="resnet")
+)
 register(
     "davo-small",
     _base(

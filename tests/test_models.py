@@ -83,6 +83,29 @@ class TestDispNet:
         disps = net.apply(params, x)
         assert disps[0].shape == (1, 128, 416, 1)
 
+    def test_resnet_encoder_variant(self, batch):
+        """disp_encoder="resnet" (SURVEY R5 ResNet variant): identical
+        multi-scale output shapes (shared decoder), residual-block
+        params present, and gradients flow to the stem."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, disp_encoder="resnet")
+        net = DispNet(cfg)
+        params = net.init(jax.random.key(0), batch["target"])
+        disps = net.apply(params, batch["target"])
+        assert len(disps) == cfg.num_scales
+        assert disps[0].shape == (2, 64, 96, 1)
+        enc1 = params["params"]["enc1"]
+        assert {"conv1", "conv2", "proj"} <= set(enc1.keys())
+
+        def loss(p):
+            return net.apply(p, batch["target"])[0].mean()
+
+        g = jax.grad(loss)(params)
+        g0 = g["params"]["enc0"]["Conv_0"]["kernel"]
+        assert float(jnp.abs(g0).max()) > 0.0
+
+
     def test_disp_to_depth_range(self):
         from davo_tpu.models.dispnet import (
             MAX_DEPTH,
