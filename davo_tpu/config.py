@@ -63,6 +63,13 @@ class TrainConfig:
     max_steps: int = 200_000
     smooth_weight: float = 0.5
     ssim_weight: float = 0.85    # mix: ssim_weight*SSIM + (1-w)*L1
+    # Photometric out-of-frame policy. "border" (default): edge-clamped
+    # samples, plain mean over all pixels — the reference family's
+    # padding mode. "valid": mask out-of-frame pixels and normalize by
+    # the valid count; KEEPS a degenerate optimum (empty mask -> loss
+    # 0: a TPU run collapsed into it by warping everything out of
+    # frame) — retained for ablation only.
+    photo_masking: str = "border"
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     checkpoint_every: int = 5_000
     log_every: int = 100

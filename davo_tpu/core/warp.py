@@ -8,10 +8,11 @@ SURVEY.md §3.1 HOT LOOP). TPU-first design:
 * Sampling gathers are expressed as flat `take` over H*W so XLA lowers
   them to efficient dynamic-gathers; weights/validity are fused
   elementwise (VPU) around them.
-* Out-of-bounds handling is mask-based (no branches): coordinates are
-  clamped for the gather and a validity mask is returned so losses can
-  ignore invalid pixels (the reference family's black-border pitfall,
-  SURVEY.md §7.2).
+* Out-of-bounds handling is branch-free: coordinates are clamped for
+  the gather and a validity mask is returned alongside. `fill`
+  selects whether invalid samples are zeroed ("zeros") or keep the
+  edge-clamped value ("border", the loss path — see
+  `bilinear_sample` on the empty-mask degeneracy).
 """
 
 from __future__ import annotations
@@ -22,11 +23,20 @@ import jax.numpy as jnp
 from davo_tpu.core import geometry as geo
 
 
-def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def bilinear_sample(
+    img: jnp.ndarray, coords: jnp.ndarray, fill: str = "zeros"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sample `img` at continuous pixel coordinates.
 
     img:    (B, H, W, C)
     coords: (B, Ho, Wo, 2) — (u, v) pixel coordinates in img's frame
+    fill:   out-of-frame value policy — "zeros" zeroes invalid samples;
+            "border" returns the edge-clamped sample (the reference
+            family's padding mode). Losses use "border": a masked mean
+            normalized by the valid count has a degenerate optimum at
+            an EMPTY mask (warp everything out of frame -> loss 0 —
+            observed collapsing a TPU training run), while border
+            samples keep out-of-frame pixels penalized.
     Returns (sampled (B, Ho, Wo, C), valid (B, Ho, Wo, 1) in {0., 1.}).
     """
     B, H, W, C = img.shape
@@ -63,6 +73,8 @@ def bilinear_sample(img: jnp.ndarray, coords: jnp.ndarray) -> tuple[jnp.ndarray,
     top = p00 * (1.0 - du) + p01 * du
     bot = p10 * (1.0 - du) + p11 * du
     out = top * (1.0 - dv) + bot * dv
+    if fill == "border":
+        return out, valid
     return out * valid, valid
 
 
@@ -72,6 +84,7 @@ def projective_inverse_warp(
     pose: jnp.ndarray,
     K: jnp.ndarray,
     rotation: str = "euler",
+    fill: str = "zeros",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Reconstruct the target view by sampling `src` through depth + pose.
 
@@ -92,13 +105,17 @@ def projective_inverse_warp(
     cam = geo.pixel_to_cam(depth, K)  # (B, 3, H, W)
     uv, z = geo.cam_to_pixel(cam, K, T)  # (B, 2, H, W), (B, H, W)
     coords = jnp.moveaxis(uv, -3, -1)  # (B, H, W, 2)
-    warped, valid = bilinear_sample(src, coords)
+    warped, valid = bilinear_sample(src, coords, fill=fill)
     # Points that project behind the source camera are invalid.
     valid = valid * (z > 0.0)[..., None].astype(valid.dtype)
+    if fill == "border":
+        return warped, valid
     return warped * valid, valid
 
 
-def flow_warp(src: jnp.ndarray, flow: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def flow_warp(
+    src: jnp.ndarray, flow: jnp.ndarray, fill: str = "zeros"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Warp `src` by a dense flow field (exact bilinear gather).
 
     src:  (B, H, W, C); flow: (B, H, W, 2) with flow[..., 0] = du,
@@ -108,7 +125,7 @@ def flow_warp(src: jnp.ndarray, flow: jnp.ndarray) -> tuple[jnp.ndarray, jnp.nda
     B, H, W, _ = src.shape
     grid = geo.pixel_grid(H, W, src.dtype)[:2]  # (2, H, W)
     coords = jnp.moveaxis(grid, 0, -1)[None] + flow  # (B, H, W, 2)
-    return bilinear_sample(src, coords)
+    return bilinear_sample(src, coords, fill=fill)
 
 
 def flow_warp_separable(

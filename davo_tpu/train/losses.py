@@ -6,8 +6,11 @@ fused by XLA inside the jitted train step. Reference semantics
 
 * view-synthesis: for each scale s and each source frame, warp the
   source into the target view through DispNet depth + PoseNet pose;
-  mix L1 and SSIM; average over valid pixels (validity masking replaces
-  the reference family's black-border artifacts, SURVEY.md §7.2).
+  mix L1 and SSIM; mean over all pixels with edge-clamped sampling
+  (the reference family's padding mode). The r1 masked-mean variant
+  (normalize by valid count) is kept behind `photo_masking="valid"`
+  for ablation — it has a degenerate optimum at an empty mask
+  (everything warped out of frame -> loss 0) that collapsed a TPU run.
 * smoothness: edge-aware disparity gradient penalty, weight decayed
   by scale (reference: smooth_weight / 2^s).
 * optional pose supervision (GT-relative-pose L2) — the supervised
@@ -38,12 +41,16 @@ def photometric_loss(
     sources: jnp.ndarray,
     K: jnp.ndarray,
     ssim_weight: float,
+    masking: str = "border",
 ) -> jnp.ndarray:
     """Multi-scale view-synthesis loss.
 
     disps: num_scales x (B, H/2^s, W/2^s, 1) sigmoid disparities
     poses: (B, S, 6); target: (B, H, W, 3); sources: (B, S, H, W, 3);
     K: (B, 3, 3) full-res intrinsics.
+    masking: see `TrainConfig.photo_masking` — "border" (edge-clamped
+    samples, unmasked mean; no empty-mask degeneracy) or "valid"
+    (masked mean, ablation only).
     """
     num_scales = len(disps)
     tgt_pyr = image_pyramid(target, num_scales)
@@ -52,22 +59,27 @@ def photometric_loss(
         for s in range(sources.shape[1])
     ]
     Ks = geo.intrinsics_pyramid(K, num_scales)
+    fill = "border" if masking == "border" else "zeros"
 
     total = 0.0
     for s_idx in range(num_scales):
         depth = disp_to_depth(disps[s_idx][..., 0])  # (B, h, w)
         for src_i, src_pyr in enumerate(src_pyrs):
             warped, valid = projective_inverse_warp(
-                src_pyr[s_idx], depth, poses[:, src_i], Ks[s_idx]
+                src_pyr[s_idx], depth, poses[:, src_i], Ks[s_idx],
+                fill=fill,
             )
             tgt = tgt_pyr[s_idx]
             l1 = jnp.abs(warped - tgt)
             # SSIM output is VALID-cropped by 1px; crop l1+valid to match.
             sm = ssim(warped, tgt)
             l1c = l1[:, 1:-1, 1:-1]
-            vc = valid[:, 1:-1, 1:-1]
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1c
-            total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
+            if masking == "border":
+                total = total + mixed.mean()
+            else:
+                vc = valid[:, 1:-1, 1:-1]
+                total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
     return total / (num_scales * len(src_pyrs))
 
 
@@ -107,26 +119,32 @@ def flow_losses(
     target: jnp.ndarray,
     sources: jnp.ndarray,
     ssim_weight: float,
+    masking: str = "border",
 ) -> jnp.ndarray:
     """Unsupervised photometric loss for the flow net, per level.
 
     flow_pyrs[s] is the fine->coarse pyramid for source s; flow maps
     target pixels to source pixels, so warping the source by the flow
-    must reconstruct the target.
+    must reconstruct the target. Same out-of-frame policy as
+    `photometric_loss` (empty-mask degeneracy applies equally here).
     """
     H, W = target.shape[1], target.shape[2]
+    fill = "border" if masking == "border" else "zeros"
     total = 0.0
     count = 0
     for s_i, pyr in enumerate(flow_pyrs):
         src = sources[:, s_i]
         for flow in pyr:
             flow_full = FlowNetLite.full_res_flow(flow, H, W)
-            warped, valid = flow_warp(src, flow_full)
+            warped, valid = flow_warp(src, flow_full, fill=fill)
             l1 = jnp.abs(warped - target)[:, 1:-1, 1:-1]
             sm = ssim(warped, target)
-            vc = valid[:, 1:-1, 1:-1]
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1
-            total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
+            if masking == "border":
+                total = total + mixed.mean()
+            else:
+                vc = valid[:, 1:-1, 1:-1]
+                total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
             count += 1
     return total / max(count, 1)
 
@@ -144,7 +162,8 @@ def total_loss(
     metrics: dict = {}
 
     photo = photometric_loss(
-        outputs["disp"], outputs["poses"], target, sources, K, tcfg.ssim_weight
+        outputs["disp"], outputs["poses"], target, sources, K,
+        tcfg.ssim_weight, masking=tcfg.photo_masking,
     )
     smooth = smoothness_loss(outputs["disp"], target)
     loss = photo + tcfg.smooth_weight * smooth
@@ -152,7 +171,10 @@ def total_loss(
     metrics["smooth"] = smooth
 
     if "flows" in outputs:
-        fl = flow_losses(outputs["flows"], target, sources, tcfg.ssim_weight)
+        fl = flow_losses(
+            outputs["flows"], target, sources, tcfg.ssim_weight,
+            masking=tcfg.photo_masking,
+        )
         loss = loss + fl
         metrics["flow"] = fl
 

@@ -94,6 +94,39 @@ class TestLosses:
         bad0 = float(photometric_loss(disps[:1], bad_poses, target, sources, K, 0.85))
         assert bad0 > 3 * good0
 
+    def test_no_empty_mask_degeneracy(self, seq):
+        """Regression (r2 TPU collapse): a pose that warps EVERYTHING
+        out of frame must not be a photometric optimum. The masked
+        variant rewards it (loss -> ~0 as the valid count empties);
+        the border default keeps it penalized above the GT-pose loss."""
+        t = 3
+        target = jnp.asarray(seq.frame(t))[None]
+        sources = jnp.asarray(seq.frame(t - 1))[None, None]
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        from davo_tpu.core.geometry import mat_to_pose_vec
+        from davo_tpu.models.dispnet import depth_to_disp
+
+        disp0 = depth_to_disp(jnp.asarray(seq.depth(t))[None])
+        disps = [disp0[..., None]]
+        gt_pose = mat_to_pose_vec(
+            jnp.asarray(seq.warp_pose(t, t - 1), jnp.float32)
+        )[None, None]
+        runaway = gt_pose.at[..., 0].add(1e4)  # everything lands OOB
+
+        good = float(
+            photometric_loss(disps, gt_pose, target, sources, K, 0.85)
+        )
+        bad_border = float(
+            photometric_loss(disps, runaway, target, sources, K, 0.85)
+        )
+        bad_masked = float(
+            photometric_loss(
+                disps, runaway, target, sources, K, 0.85, masking="valid"
+            )
+        )
+        assert bad_masked < 1e-6      # the trap this test pins
+        assert bad_border > 5 * good  # border keeps it repulsive
+
     def test_smoothness_flat_disp_is_zero(self):
         disps = [jnp.full((1, 16, 16, 1), 0.3)]
         img = jnp.zeros((1, 16, 16, 3))

@@ -51,6 +51,21 @@ class TestBilinearSample:
         assert float(valid[0, :, 10:].max()) == 0.0
         assert float(jnp.abs(out[0, :, 10:]).max()) == 0.0
 
+    def test_border_fill_returns_edge_sample(self, rng):
+        """fill="border": out-of-frame samples keep the edge-clamped
+        value (valid still 0) instead of being zeroed."""
+        img = jnp.asarray(rng.uniform(0.5, 1.0, size=(1, 8, 12, 2)), jnp.float32)
+        grid = jnp.moveaxis(geo.pixel_grid(8, 12)[:2], 0, -1)[None]
+        coords = grid + jnp.array([5.0, 0.0])  # u+5: right strip OOB
+        out, valid = warp.bilinear_sample(img, coords, fill="border")
+        assert float(valid[0, :, 7:].max()) == 0.0
+        # OOB columns clamp to the last source column, not zero.
+        np.testing.assert_allclose(
+            np.asarray(out[0, :, 7:]),
+            np.broadcast_to(np.asarray(img[0, :, -1:]), (8, 5, 2)),
+            atol=1e-6,
+        )
+
     def test_halfpixel_average(self):
         img = jnp.zeros((1, 4, 4, 1)).at[0, 1, 1, 0].set(1.0)
         coords = jnp.array([[[[0.5, 1.0]]]])  # between (1,0) and (1,1) in u
