@@ -46,10 +46,16 @@ class ModelConfig:
     # absorbs it (r2).
     use_pallas: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
-    # reduces; "gram" = per-row-shift channel Gram matmuls on the MXU
-    # with strided-slice diagonal extraction (identical output;
-    # flownet.cost_volume_gram).
+    # reduces; "scan" = the same computation as ONE lax.scan over
+    # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift
+    # channel Gram matmuls on the MXU with strided-slice diagonal
+    # extraction. All produce identical outputs.
     costvol_impl: str = "slices"
+    # >0: shared learned 1x1 projection of both feature maps to this
+    # many channels before correlation (LiteFlowNet-style). The
+    # costvol cost scales with C (pyramid features are 32-96 ch);
+    # flow quality is gated by the e2e tiers before presets adopt it.
+    costvol_feat_channels: int = 0
 
 
 @dataclass(frozen=True)

@@ -185,6 +185,46 @@ class TestFlowNet:
                 np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2
             )
 
+    def test_cost_volume_scan_matches_slices(self):
+        """lax.scan formulation == the unrolled slice formulation."""
+        from davo_tpu.models.flownet import cost_volume_scan
+
+        rng = np.random.default_rng(4)
+        for H, W, C, s in ((8, 8, 32, 2), (6, 26, 16, 4)):
+            f1 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            f2 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            ref = cost_volume(f1, f2, search=s)
+            got = cost_volume_scan(f1, f2, search=s)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-6
+            )
+
+    def test_costvol_projection(self, batch):
+        """costvol_feat_channels: shared cv_proj params exist, pyramid
+        shapes unchanged, gradients flow through the projection."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            CFG, costvol_feat_channels=8, costvol_impl="scan"
+        )
+        net = FlowNetLite(cfg)
+        params = net.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        flows = net.apply(params, batch["target"], batch["sources"][:, 0])
+        assert flows[0].shape == (2, 16, 24, 2)
+        pp = params["params"]
+        assert "cv_proj1" in pp and "cv_proj2" in pp
+        assert pp["cv_proj1"]["kernel"].shape == (1, 1, 32, 8)
+
+        def loss(p):
+            return net.apply(
+                p, batch["target"], batch["sources"][:, 0]
+            )[0].mean()
+
+        g = jax.grad(loss)(params)["params"]["cv_proj1"]["kernel"]
+        assert float(jnp.abs(g).max()) > 0.0
+
     def test_pyramid_shapes(self, batch):
         net = FlowNetLite(CFG)
         params = net.init(
