@@ -147,3 +147,100 @@ class KittiOdometry:
         K[0] *= width / nw
         K[1] *= height / nh
         return K
+
+
+@dataclass
+class KittiRaw:
+    """One KITTI *raw* drive (reference parity:
+    `<ref>/data/kitti_raw_loader.py`, SURVEY.md R11). Layout:
+
+        root/<date>/calib_cam_to_cam.txt     (P_rect_02 etc.)
+        root/<date>/<date>_drive_NNNN_sync/image_02/data/*.png
+        root/<date>/<date>_drive_NNNN_sync/oxts/data/*.txt (optional)
+
+    oxts rows are the KITTI GPS/IMU format (lat lon alt roll pitch yaw
+    vn ve vf ...); the reference drops near-static frames by GPS
+    speed, mirrored here via `speeds()` + `min_speed` in
+    `prepare_kitti_raw`.
+    """
+
+    root: str
+    date: str
+    drive: str  # 4-digit id, e.g. "0001"
+    image_dir: str = field(init=False)
+    frames: list[str] = field(init=False)
+    K: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.drive_dir = os.path.join(
+            self.root, self.date, f"{self.date}_drive_{self.drive}_sync"
+        )
+        self.image_dir = os.path.join(self.drive_dir, "image_02", "data")
+        self.frames = sorted(
+            f
+            for f in os.listdir(self.image_dir)
+            if f.endswith((".png", ".jpg"))
+        )
+        with open(
+            os.path.join(self.root, self.date, "calib_cam_to_cam.txt")
+        ) as f:
+            calib = parse_calib(f.read())
+        self.K = intrinsics_from_projection(calib["P_rect_02"])
+
+    @staticmethod
+    def list_drives(root: str) -> list[tuple[str, str]]:
+        """All (date, drive) pairs under `root`."""
+        out = []
+        for date in sorted(os.listdir(root)):
+            ddir = os.path.join(root, date)
+            if not os.path.isdir(ddir):
+                continue
+            for name in sorted(os.listdir(ddir)):
+                if name.startswith(date + "_drive_") and name.endswith(
+                    "_sync"
+                ):
+                    out.append((date, name[len(date) + 7 : -5]))
+        return out
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def frame_path(self, i: int) -> str:
+        return os.path.join(self.image_dir, self.frames[i])
+
+    def load_frame(
+        self, i: int, height: int | None = None, width: int | None = None
+    ) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(self.frame_path(i), cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if height is not None and width is not None:
+            img = cv2.resize(
+                img, (width, height), interpolation=cv2.INTER_AREA
+            )
+        return img.astype(np.float32) / 255.0
+
+    def speeds(self) -> np.ndarray | None:
+        """Per-frame ground speed |(vn, ve)| m/s from oxts, or None."""
+        oxts = os.path.join(self.drive_dir, "oxts", "data")
+        if not os.path.isdir(oxts):
+            return None
+        rows = []
+        for f in sorted(os.listdir(oxts)):
+            if not f.endswith(".txt"):
+                continue
+            vals = np.fromstring(
+                open(os.path.join(oxts, f)).read(), sep=" "
+            )
+            rows.append(np.hypot(vals[6], vals[7]) if len(vals) > 7 else 0.0)
+        return np.asarray(rows, np.float64) if rows else None
+
+    def scaled_intrinsics(
+        self, height: int, width: int, native_hw: tuple[int, int]
+    ) -> np.ndarray:
+        nh, nw = native_hw
+        K = self.K.copy()
+        K[0] *= width / nw
+        K[1] *= height / nh
+        return K

@@ -1,10 +1,11 @@
 """Offline dataset preparation: raw KITTI -> training snippet dirs.
 
 Reference parity: `<ref>/data/prepare_train_data.py` +
-`kitti_odom_loader.py` (SURVEY.md R11 [H]): resize frames, write
-`[I_{t-1} I_t I_{t+1}]` horizontally-concatenated snippet images plus
-per-snippet `*_cam.txt` intrinsics and train/val split lists, with a
-multiprocessing pool over frames. The online `SnippetDataset` does not
+`kitti_odom_loader.py` / `kitti_raw_loader.py` (SURVEY.md R11 [H]):
+resize frames, write `[I_{t-1} I_t I_{t+1}]` horizontally-concatenated
+snippet images plus per-snippet `*_cam.txt` intrinsics and train/val
+split lists, with a multiprocessing pool over frames; raw drives drop
+near-static frames by GPS speed. The online `SnippetDataset` does not
 need this (it reads sequences directly); the offline form exists for
 (a) parity with the reference's dataset layout and (b) amortizing
 decode+resize for long training runs.
@@ -17,7 +18,7 @@ from multiprocessing import Pool
 
 import numpy as np
 
-from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry
+from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry, KittiRaw
 
 
 def _write_snippet(args) -> str:
@@ -78,6 +79,82 @@ def prepare_kitti_odometry(
     with open(os.path.join(out_dir, "val.txt"), "w") as f:
         f.write("\n".join(val) + "\n")
     return {"train": len(train), "val": len(val)}
+
+
+def _write_raw_snippet(args) -> str:
+    import cv2
+
+    root, date, drive, t, out_dir, height, width, native_hw = args
+    kr = KittiRaw(root, date, drive)
+    frames = [
+        (kr.load_frame(i, height, width) * 255).astype(np.uint8)
+        for i in (t - 1, t, t + 1)
+    ]
+    name = f"{date}_{drive}_{t:06d}"
+    cv2.imwrite(
+        os.path.join(out_dir, name + ".jpg"),
+        cv2.cvtColor(np.concatenate(frames, axis=1), cv2.COLOR_RGB2BGR),
+    )
+    K = kr.scaled_intrinsics(height, width, native_hw)
+    with open(os.path.join(out_dir, name + "_cam.txt"), "w") as f:
+        f.write(",".join(str(v) for v in K.ravel()))
+    return name
+
+
+def prepare_kitti_raw(
+    root: str,
+    out_dir: str,
+    height: int = 128,
+    width: int = 416,
+    drives: list[tuple[str, str]] | None = None,
+    num_workers: int = 4,
+    val_fraction: float = 0.1,
+    min_speed: float = 1.0,
+    seed: int = 0,
+) -> dict:
+    """Build the reference-layout training set from raw drives.
+
+    A triplet is kept only if all three frames move faster than
+    `min_speed` m/s (oxts GPS; drives without oxts keep everything) —
+    the reference's static-scene exclusion. Returns counts.
+    """
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    if drives is None:
+        drives = KittiRaw.list_drives(root)
+    jobs = []
+    n_static = 0
+    for date, drive in drives:
+        kr = KittiRaw(root, date, drive)
+        native_hw = cv2.imread(kr.frame_path(0)).shape[:2]
+        speeds = kr.speeds()
+        for t in range(1, len(kr) - 1):
+            if speeds is not None and float(
+                speeds[t - 1 : t + 2].min()
+            ) < min_speed:
+                n_static += 1
+                continue
+            jobs.append(
+                (root, date, drive, t, out_dir, height, width, native_hw)
+            )
+
+    if num_workers > 1:
+        with Pool(num_workers) as pool:
+            names = pool.map(_write_raw_snippet, jobs)
+    else:
+        names = [_write_raw_snippet(j) for j in jobs]
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(names))
+    n_val = int(len(names) * val_fraction)
+    val = sorted(names[i] for i in order[:n_val])
+    train = sorted(names[i] for i in order[n_val:])
+    with open(os.path.join(out_dir, "train.txt"), "w") as f:
+        f.write("\n".join(train) + "\n")
+    with open(os.path.join(out_dir, "val.txt"), "w") as f:
+        f.write("\n".join(val) + "\n")
+    return {"train": len(train), "val": len(val), "static_dropped": n_static}
 
 
 class PreparedSnippets:

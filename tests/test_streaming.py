@@ -126,3 +126,67 @@ class TestOfflinePrep:
         assert batch["target"].shape[1:] == (24, 32, 3)
         assert batch["sources"].shape[1:] == (2, 24, 32, 3)
         assert batch["K"].shape[1:] == (3, 3)
+
+    def test_raw_roundtrip(self, tmp_path):
+        """KITTI *raw* layout (R11 kitti_raw_loader parity): drives +
+        calib_cam_to_cam + oxts; static frames dropped by GPS speed;
+        prepared set reads back with correct shapes and K."""
+        import cv2
+
+        from davo_tpu.data.kitti import KittiRaw
+        from davo_tpu.data.prep import PreparedSnippets, prepare_kitti_raw
+
+        seq = SyntheticSequence(n_frames=8, height=48, width=64, seed=1)
+        root = tmp_path / "raw"
+        date = "2011_09_26"
+        ddir = root / date / f"{date}_drive_0001_sync"
+        img_dir = ddir / "image_02" / "data"
+        oxts_dir = ddir / "oxts" / "data"
+        img_dir.mkdir(parents=True)
+        oxts_dir.mkdir(parents=True)
+        for i in range(8):
+            cv2.imwrite(
+                str(img_dir / f"{i:010d}.png"),
+                cv2.cvtColor(
+                    (seq.frame(i) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
+            # oxts row: lat lon alt roll pitch yaw vn ve ... — frames
+            # 0-2 are static (speed 0), the rest drive at 5 m/s.
+            vn = 0.0 if i < 3 else 3.0
+            ve = 0.0 if i < 3 else 4.0
+            (oxts_dir / f"{i:010d}.txt").write_text(
+                f"49.0 8.4 112.0 0.0 0.0 0.0 {vn} {ve} 5.0 0.0 0.0\n"
+            )
+        K = seq.K
+        p02 = " ".join(str(v) for v in np.hstack([K, np.zeros((3, 1))]).ravel())
+        (root / date / "calib_cam_to_cam.txt").write_text(
+            "calib_time: 09-Jan-2012 13:57:47\n"
+            "S_00: 1.392000e+03 5.120000e+02\n"
+            f"P_rect_02: {p02}\n"
+        )
+
+        assert KittiRaw.list_drives(str(root)) == [(date, "0001")]
+        kr = KittiRaw(str(root), date, "0001")
+        assert len(kr) == 8
+        np.testing.assert_allclose(kr.K, K, atol=1e-6)
+        sp = kr.speeds()
+        assert sp is not None and sp[0] == 0.0 and sp[4] == 5.0
+
+        out = tmp_path / "prepared_raw"
+        counts = prepare_kitti_raw(
+            str(root), str(out), height=24, width=32,
+            num_workers=1, val_fraction=0.0, min_speed=1.0,
+        )
+        # Triplets at t=1..6; t in {1,2,3} touch a static frame -> only
+        # t=4,5,6 survive.
+        assert counts["train"] == 3 and counts["static_dropped"] == 3
+
+        ds = PreparedSnippets(str(out), split="train")
+        batch = next(ds.batches(batch_size=3, steps=1))
+        assert batch["target"].shape == (3, 24, 32, 3)
+        assert batch["sources"].shape == (3, 2, 24, 32, 3)
+        # K followed the resize: fx scaled by 32/64, fy by 24/48.
+        np.testing.assert_allclose(
+            batch["K"][0][0, 0], K[0, 0] * 32 / 64, rtol=1e-6
+        )
