@@ -38,10 +38,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from davo_tpu.config import ModelConfig
+    from davo_tpu.models import presets
     from davo_tpu.models.davo import DavoModel
 
-    cfg = ModelConfig(attention="flow_seg")
+    # The production-serving config: full flow+attention+pose pipeline
+    # with the r2e measured-quality-neutral perf knobs (8-ch learned
+    # correlation projection, search range 3). The paper-parity `davo`
+    # preset (search=4, no projection) measures 14.4 ms vs 10.1 ms at
+    # B=128 — both ladders recorded in R2_RESULTS.md.
+    cfg = presets.get("davo-fast").model
     model = DavoModel(cfg)
     rng = np.random.default_rng(0)
     H, W = cfg.img_height, cfg.img_width

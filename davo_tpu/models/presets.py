@@ -46,6 +46,16 @@ register(  # ResNet disp encoder (reference's disp_net_res variant)
     "davo-res", _base(attention="flow_seg", disp_encoder="resnet")
 )
 register(
+    # Production-serving config: full attention pipeline with the two
+    # measured-quality-neutral perf knobs (r2e sweep, 14.4 -> 10.1 ms
+    # at B=128): learned 8-ch correlation projection + search range 3.
+    # Quality-gated by the e2e supervised tier (train_e2e "sup_fast").
+    "davo-fast",
+    _base(
+        attention="flow_seg", costvol_feat_channels=8, flow_search_range=3
+    ),
+)
+register(
     "davo-small",
     _base(
         attention="flow_seg",

@@ -13,6 +13,7 @@ Usage: tools/dev/tpu_run.sh tools/dev/train_e2e.py <timeout> 1
        [STEPS] [OUT.json] via argv.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -76,9 +77,15 @@ gt = eval_seq.poses
 gt_depth_med = float(np.median(eval_seq.depth(0)))
 
 
-def run_tier(name: str, sup_weight: float, steps: int) -> dict:
+def run_tier(
+    name: str, sup_weight: float, steps: int, **model_overrides
+) -> dict:
     cfg = Config(
-        model=base.model,
+        model=(
+            dataclasses.replace(base.model, **model_overrides)
+            if model_overrides
+            else base.model
+        ),
         train=TrainConfig(
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=steps,
@@ -197,6 +204,21 @@ report["ba"] = {
     "ba_s": time.time() - t0,
 }
 print("BA:", json.dumps(report["ba"], default=float), flush=True)
+
+# ---- Tier A-fast: quality gate for the davo-fast perf knobs ----------
+# The serving preset's learned correlation projection must not cost
+# pose accuracy (search=3 is un-gateable at tiny scale — tiny already
+# uses search=2, itself evidence small ranges suffice here).
+tier_fast = run_tier("sup_fast", 100.0, STEPS, costvol_feat_channels=8)
+report["supervised_fast"] = {
+    k: v for k, v in tier_fast.items() if k != "model_state"
+}
+fast_ratio = (
+    tier_fast["eval_raw"]["snippet_ate_mean"]
+    / max(tier_a["eval_raw"]["snippet_ate_mean"], 1e-9)
+)
+report["fast_over_base_snippet_ate"] = fast_ratio
+print(f"fast/base snippet ATE ratio: {fast_ratio:.2f}", flush=True)
 
 # ---- Tier B: unsupervised (reference regime) -------------------------
 tier_b = run_tier("unsup", 0.0, STEPS)
