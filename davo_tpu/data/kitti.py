@@ -244,3 +244,97 @@ class KittiRaw:
         K[0] *= width / nw
         K[1] *= height / nh
         return K
+
+
+@dataclass
+class CityscapesSeq:
+    """One Cityscapes leftImg8bit_sequence group (reference parity:
+    `<ref>/data/cityscapes_loader.py`, SURVEY.md R11 optional source).
+    Layout:
+
+        root/leftImg8bit_sequence/<split>/<city>/
+            <city>_<seq>_<frame>_leftImg8bit.png
+        root/camera/<split>/<city>/<city>_<seq>_<frame>_camera.json
+            {"intrinsic": {"fx", "fy", "u0", "v0"}}
+
+    A "sequence" here is one (city, seq-id) 30-frame snippet group.
+    """
+
+    root: str
+    split: str
+    city: str
+    seq: str  # 6-digit id
+    frames: list[str] = field(init=False)
+    K: np.ndarray = field(init=False)
+
+    def __post_init__(self):
+        self.image_dir = os.path.join(
+            self.root, "leftImg8bit_sequence", self.split, self.city
+        )
+        prefix = f"{self.city}_{self.seq}_"
+        self.frames = sorted(
+            f
+            for f in os.listdir(self.image_dir)
+            if f.startswith(prefix) and f.endswith("_leftImg8bit.png")
+        )
+        self.K = self._load_K()
+
+    def _load_K(self) -> np.ndarray:
+        import json as _json
+
+        cam_dir = os.path.join(self.root, "camera", self.split, self.city)
+        # Any frame's camera json works (fixed rig per sequence).
+        stem = self.frames[0][: -len("_leftImg8bit.png")]
+        path = os.path.join(cam_dir, stem + "_camera.json")
+        with open(path) as f:
+            intr = _json.load(f)["intrinsic"]
+        return np.array(
+            [
+                [intr["fx"], 0.0, intr["u0"]],
+                [0.0, intr["fy"], intr["v0"]],
+                [0.0, 0.0, 1.0],
+            ],
+            np.float64,
+        )
+
+    @staticmethod
+    def list_sequences(root: str, split: str = "train") -> list[tuple[str, str]]:
+        """All (city, seq) groups under leftImg8bit_sequence/<split>."""
+        base = os.path.join(root, "leftImg8bit_sequence", split)
+        out = set()
+        for city in sorted(os.listdir(base)):
+            cdir = os.path.join(base, city)
+            if not os.path.isdir(cdir):
+                continue
+            for f in os.listdir(cdir):
+                if f.endswith("_leftImg8bit.png"):
+                    out.add((city, f.split("_")[1]))
+        return sorted(out)
+
+    def __len__(self) -> int:
+        return len(self.frames)
+
+    def frame_path(self, i: int) -> str:
+        return os.path.join(self.image_dir, self.frames[i])
+
+    def load_frame(
+        self, i: int, height: int | None = None, width: int | None = None
+    ) -> np.ndarray:
+        import cv2
+
+        img = cv2.imread(self.frame_path(i), cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        if height is not None and width is not None:
+            img = cv2.resize(
+                img, (width, height), interpolation=cv2.INTER_AREA
+            )
+        return img.astype(np.float32) / 255.0
+
+    def scaled_intrinsics(
+        self, height: int, width: int, native_hw: tuple[int, int]
+    ) -> np.ndarray:
+        nh, nw = native_hw
+        K = self.K.copy()
+        K[0] *= width / nw
+        K[1] *= height / nh
+        return K

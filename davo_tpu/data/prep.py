@@ -18,7 +18,12 @@ from multiprocessing import Pool
 
 import numpy as np
 
-from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry, KittiRaw
+from davo_tpu.data.kitti import (
+    TRAIN_SEQS,
+    CityscapesSeq,
+    KittiOdometry,
+    KittiRaw,
+)
 
 
 def _write_snippet(args) -> str:
@@ -155,6 +160,68 @@ def prepare_kitti_raw(
     with open(os.path.join(out_dir, "val.txt"), "w") as f:
         f.write("\n".join(val) + "\n")
     return {"train": len(train), "val": len(val), "static_dropped": n_static}
+
+
+def _write_cityscapes_snippet(args) -> str:
+    import cv2
+
+    root, split, city, seq, t, out_dir, height, width, native_hw = args
+    cs = CityscapesSeq(root, split, city, seq)
+    frames = [
+        (cs.load_frame(i, height, width) * 255).astype(np.uint8)
+        for i in (t - 1, t, t + 1)
+    ]
+    name = f"{city}_{seq}_{t:06d}"
+    cv2.imwrite(
+        os.path.join(out_dir, name + ".jpg"),
+        cv2.cvtColor(np.concatenate(frames, axis=1), cv2.COLOR_RGB2BGR),
+    )
+    K = cs.scaled_intrinsics(height, width, native_hw)
+    with open(os.path.join(out_dir, name + "_cam.txt"), "w") as f:
+        f.write(",".join(str(v) for v in K.ravel()))
+    return name
+
+
+def prepare_cityscapes(
+    root: str,
+    out_dir: str,
+    height: int = 128,
+    width: int = 416,
+    split: str = "train",
+    num_workers: int = 4,
+    val_fraction: float = 0.1,
+    seed: int = 0,
+) -> dict:
+    """Build the reference-layout set from leftImg8bit_sequence groups
+    (`<ref>/data/cityscapes_loader.py` analog). Returns counts."""
+    import cv2
+
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = []
+    for city, seq in CityscapesSeq.list_sequences(root, split):
+        cs = CityscapesSeq(root, split, city, seq)
+        native_hw = cv2.imread(cs.frame_path(0)).shape[:2]
+        for t in range(1, len(cs) - 1):
+            jobs.append(
+                (root, split, city, seq, t, out_dir, height, width, native_hw)
+            )
+
+    if num_workers > 1:
+        with Pool(num_workers) as pool:
+            names = pool.map(_write_cityscapes_snippet, jobs)
+    else:
+        names = [_write_cityscapes_snippet(j) for j in jobs]
+
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(names))
+    n_val = int(len(names) * val_fraction)
+    val = sorted(names[i] for i in order[:n_val])
+    train = sorted(names[i] for i in order[n_val:])
+    with open(os.path.join(out_dir, "train.txt"), "w") as f:
+        f.write("\n".join(train) + "\n")
+    with open(os.path.join(out_dir, "val.txt"), "w") as f:
+        f.write("\n".join(val) + "\n")
+    return {"train": len(train), "val": len(val)}
 
 
 class PreparedSnippets:

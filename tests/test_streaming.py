@@ -190,3 +190,55 @@ class TestOfflinePrep:
         np.testing.assert_allclose(
             batch["K"][0][0, 0], K[0, 0] * 32 / 64, rtol=1e-6
         )
+
+    def test_cityscapes_roundtrip(self, tmp_path):
+        """Cityscapes leftImg8bit_sequence layout (R11 optional source):
+        adapter lists groups, reads camera.json intrinsics; prep writes
+        triplets that read back with K scaled."""
+        import cv2
+        import json as _json
+
+        from davo_tpu.data.kitti import CityscapesSeq
+        from davo_tpu.data.prep import PreparedSnippets, prepare_cityscapes
+
+        seq = SyntheticSequence(n_frames=5, height=48, width=64, seed=2)
+        root = tmp_path / "cs"
+        city, sid = "aachen", "000001"
+        img_dir = root / "leftImg8bit_sequence" / "train" / city
+        cam_dir = root / "camera" / "train" / city
+        img_dir.mkdir(parents=True)
+        cam_dir.mkdir(parents=True)
+        K = seq.K
+        for i in range(5):
+            stem = f"{city}_{sid}_{i:06d}"
+            cv2.imwrite(
+                str(img_dir / (stem + "_leftImg8bit.png")),
+                cv2.cvtColor(
+                    (seq.frame(i) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
+            (cam_dir / (stem + "_camera.json")).write_text(
+                _json.dumps({"intrinsic": {
+                    "fx": float(K[0, 0]), "fy": float(K[1, 1]),
+                    "u0": float(K[0, 2]), "v0": float(K[1, 2]),
+                }})
+            )
+
+        assert CityscapesSeq.list_sequences(str(root)) == [(city, sid)]
+        cs = CityscapesSeq(str(root), "train", city, sid)
+        assert len(cs) == 5
+        np.testing.assert_allclose(cs.K, K, atol=1e-6)
+
+        out = tmp_path / "prepared_cs"
+        counts = prepare_cityscapes(
+            str(root), str(out), height=24, width=32,
+            num_workers=1, val_fraction=0.0,
+        )
+        assert counts["train"] == 3  # t = 1..3
+
+        ds = PreparedSnippets(str(out), split="train")
+        batch = next(ds.batches(batch_size=3, steps=1))
+        assert batch["target"].shape == (3, 24, 32, 3)
+        np.testing.assert_allclose(
+            batch["K"][0][1, 1], K[1, 1] * 24 / 48, rtol=1e-6
+        )
