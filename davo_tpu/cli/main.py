@@ -19,7 +19,20 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
+
+
+class _PreparedWrapper:
+    """Adapt PreparedSnippets to the SnippetDataset.batches(steps=N)
+    interface cmd_train consumes."""
+
+    def __init__(self, prepared, batch_size: int):
+        self.prepared = prepared
+        self.batch_size = batch_size
+
+    def batches(self, steps=None):
+        return self.prepared.batches(self.batch_size, steps=steps)
 
 
 def _apply_sets(cfg, sets: list[str]):
@@ -84,6 +97,21 @@ def cmd_train(args) -> int:
             augment=True,
             seed=cfg.train.seed,
         )
+    elif os.path.exists(os.path.join(args.data, "train.txt")):
+        # Offline-prepared layout (data/prep.py; the reference's
+        # prepare_train_data output — concat triplets + *_cam.txt).
+        # No seg files in this layout, so flow_seg needs the online
+        # KITTI path instead.
+        from davo_tpu.data.prep import PreparedSnippets
+
+        if cfg.model.attention == "flow_seg":
+            print(
+                "prepared layout has no seg maps; use --version flow "
+                "or train from a KITTI root", file=sys.stderr,
+            )
+            return 1
+        prepared = PreparedSnippets(args.data, seed=cfg.train.seed)
+        ds = _PreparedWrapper(prepared, cfg.train.batch_size)
     else:
         from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry
         from davo_tpu.data.snippets import KittiAdapter

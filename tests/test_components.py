@@ -186,6 +186,67 @@ class TestCLI:
         assert rp.shape == (32, 4, 4)
 
 
+@pytest.mark.slow
+class TestCLIPreparedTraining:
+    def test_train_from_prepared_layout(self, tmp_path):
+        """`davo-tpu train` consumes the offline-prepared triplet
+        layout (the reference's prepare_train_data output) directly."""
+        import subprocess
+        import sys as _sys
+
+        import cv2
+
+        from davo_tpu.data.prep import prepare_kitti_odometry
+        from davo_tpu.data.kitti import format_poses_kitti
+        from davo_tpu.data.synthetic import SyntheticSequence
+
+        seq = SyntheticSequence(n_frames=6, height=48, width=64, seed=0)
+        root = tmp_path / "kitti"
+        img_dir = root / "sequences" / "00" / "image_2"
+        img_dir.mkdir(parents=True)
+        for i in range(6):
+            cv2.imwrite(
+                str(img_dir / f"{i:06d}.png"),
+                cv2.cvtColor(
+                    (seq.frame(i) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
+                ),
+            )
+        K = np.hstack([seq.K, np.zeros((3, 1))])
+        (root / "sequences" / "00" / "calib.txt").write_text(
+            "P2: " + " ".join(str(v) for v in K.ravel()) + "\n"
+        )
+        (root / "poses").mkdir()
+        (root / "poses" / "00.txt").write_text(format_poses_kitti(seq.poses))
+        out = tmp_path / "prepared"
+        prepare_kitti_odometry(
+            str(root), str(out), height=48, width=64,
+            seqs=("00",), num_workers=1, val_fraction=0.0,
+        )
+
+        r = subprocess.run(
+            [
+                _sys.executable, "-m", "davo_tpu.cli.main", "train",
+                "--version", "tiny", "--data", str(out), "--steps", "2",
+                "--set", "model.attention=flow",
+                "--set", "train.batch_size=2",
+                "--set", "train.log_every=1",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "step 2" in r.stdout
+
+        # flow_seg is rejected with a clear message (no seg in layout).
+        r = subprocess.run(
+            [
+                _sys.executable, "-m", "davo_tpu.cli.main", "train",
+                "--version", "tiny", "--data", str(out), "--steps", "1",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 1 and "seg" in r.stderr
+
+
 class TestRecordedExperiments:
     """Regression gates on committed experiment artifacts.
 
