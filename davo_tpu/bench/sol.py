@@ -55,7 +55,10 @@ def conv_stack_sol(
 
 
 def model_flops(cfg) -> float:
-    """Analytic forward FLOPs of the pose path (per frame pair)."""
+    """Analytic forward FLOPs of the full pose path (per frame pair):
+    pose encoder, flow feature pyramid (x2 images), per-level cost
+    volumes (with optional learned projection), flow estimators
+    (optional 1x1 bottleneck), and the separable matmul warps."""
     H, W = cfg.img_height, cfg.img_width
     total = 0.0
     # Pose encoder
@@ -66,12 +69,43 @@ def model_flops(cfg) -> float:
         h, w = -(-h // 2), -(-w // 2)
         total += 2.0 * h * w * k * k * cin * c
         cin = c
-    if cfg.attention != "none":
-        # Feature pyramid x2 images
-        cin = 3
-        h, w = H, W
-        for c in (16, 32, 64, 96)[: cfg.flow_levels]:
-            h, w = -(-h // 2), -(-w // 2)
-            total += 2 * (2.0 * h * w * 9 * cin * c + 2.0 * h * w * 9 * c * c)
-            cin = c
+    if cfg.attention == "none":
+        return total
+
+    level_ch = (16, 32, 64, 96)[: cfg.flow_levels]
+    # Feature pyramid x2 images
+    cin = 3
+    h, w = H, W
+    dims = []
+    for c in level_ch:
+        h, w = -(-h // 2), -(-w // 2)
+        total += 2 * (2.0 * h * w * 9 * cin * c + 2.0 * h * w * 9 * c * c)
+        dims.append((h, w))
+        cin = c
+
+    d2 = (2 * cfg.flow_search_range + 1) ** 2
+    proj = cfg.costvol_feat_channels
+    bneck = cfg.flow_est_bottleneck
+    # Refined levels: pyramid indices 1 .. flow_levels-1
+    for lv in range(1, cfg.flow_levels):
+        h, w = dims[lv]
+        px = h * w
+        c = level_ch[lv]
+        c_cv = proj if proj > 0 else c
+        if proj > 0:  # 1x1 on both maps
+            total += 2 * 2.0 * px * c * proj
+        total += 2.0 * px * c_cv * d2  # correlation
+        # Separable warp (all refined levels except the coarsest,
+        # which starts from zero flow): two banded matmuls.
+        if lv != cfg.flow_levels - 1:
+            total += 2.0 * px * w * c + 2.0 * px * h * c
+        # Estimator: optional 1x1 bottleneck + (96, 64, 32) 3x3s + head
+        cin_est = d2 + c + 2
+        if bneck > 0:
+            total += 2.0 * px * cin_est * bneck
+            cin_est = bneck
+        for cout in (96, 64, 32):
+            total += 2.0 * px * 9 * cin_est * cout
+            cin_est = cout
+        total += 2.0 * px * 9 * 32 * 2
     return total

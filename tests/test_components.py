@@ -286,3 +286,19 @@ class TestRecordedExperiments:
         assert np.isfinite(sup["eval_raw"]["r_err_deg_per_100m"])
         # Unsupervised (reference-regime) tier within ~2x of supervised.
         assert rep["unsup_over_sup_snippet_ate"] < 2.0
+
+
+class TestSolAccounting:
+    def test_model_flops_ladder(self):
+        """Analytic FLOP counts: davo ~2.65 GF/pair (the recorded r2
+        figure), davo-fast strictly fewer (projection + search=3),
+        attention=none far fewer (no flow path)."""
+        from davo_tpu.bench.sol import model_flops
+
+        davo = model_flops(presets.get("davo").model)
+        fast = model_flops(presets.get("davo-fast").model)
+        none_ = model_flops(presets.get("base").model)
+        assert 2.4e9 < davo < 2.9e9
+        assert none_ < fast < davo
+        # Projection FLOPs are tiny vs the correlation they shrink.
+        assert fast > 0.8 * davo
