@@ -75,6 +75,7 @@ class SyntheticSequence:
         texture_mode: str = "grid",
         loop_radius: float | None = None,
         loop_roll: bool = False,
+        dynamic_along_path: bool = False,
     ):
         self.n_frames = n_frames
         self.height = height
@@ -245,6 +246,33 @@ class SyntheticSequence:
                     layer /= layer.max() + 1e-6
                     otex += octave * layer
                 otex /= otex.max()
+                if dynamic_along_path:
+                    # Re-anchor to a random frame's view so coverage
+                    # persists over LONG sequences (start-frustum
+                    # placement decays to 0 % past ~frame 50 on loop
+                    # worlds). Drawn after all start-anchored draws so
+                    # dynamic_along_path=False stays bit-identical.
+                    f = int(rng.integers(0, n_frames))
+                    Cf = self.poses[f]
+                    o = Cf[:3, 3]
+                    axis = Cf[:3, :3] @ np.array([0.0, 0.0, 1.0])
+                    z = o[2] + rng.uniform(0.35, 0.85) * (plane_z - o[2])
+                    dist = z - o[2]
+                    look = o[:2] + (dist / axis[2]) * axis[:2]
+                    half_w = dist * (width / 2) / self.K[0, 0]
+                    half_h = dist * (height / 2) / self.K[1, 1]
+                    center = (
+                        look
+                        + np.array(
+                            [
+                                rng.uniform(-0.55, 0.55) * half_w,
+                                rng.uniform(-0.55, 0.55) * half_h,
+                            ]
+                        )
+                        - vel * f
+                    )
+                    w_obj = rng.uniform(0.18, 0.30) * dist
+                    h_obj = 0.75 * w_obj
                 self.objects.append(
                     dict(z=z, w=w_obj, h=h_obj, center=center, vel=vel,
                          label=label, tex=otex)

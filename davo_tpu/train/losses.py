@@ -4,13 +4,17 @@ All losses are pure functions of (model outputs, batch) -> scalar,
 fused by XLA inside the jitted train step. Reference semantics
 (`<ref>/davo.py`, SURVEY.md R4 [H]):
 
-* view-synthesis: for each scale s and each source frame, warp the
-  source into the target view through DispNet depth + PoseNet pose;
-  mix L1 and SSIM; mean over all pixels with edge-clamped sampling
-  (the reference family's padding mode). The r1 masked-mean variant
-  (normalize by valid count) is kept behind `photo_masking="valid"`
-  for ablation — it has a degenerate optimum at an empty mask
-  (everything warped out of frame -> loss 0) that collapsed a TPU run.
+* view-synthesis: for each scale s, warp each source frame into the
+  target view through DispNet depth + PoseNet pose; mix L1 and SSIM;
+  per-pixel MIN over sources (Monodepth2-style min-reprojection),
+  mean over all pixels with edge-clamped sampling. Two failure modes
+  pinned by tests shaped this: the r1 valid-masked mean has a
+  degenerate optimum at an empty mask (everything warped out of
+  frame -> loss 0; collapsed a TPU run; kept for ablation behind
+  `photo_masking="valid"`), and a per-source border-filled mean
+  biases depth toward infinity (border charge on large parallax;
+  saturated depth at the 100 m cap in e2e) — the min over symmetric
+  sources removes the border charge while keeping collapse repulsive.
 * smoothness: edge-aware disparity gradient penalty, weight decayed
   by scale (reference: smooth_weight / 2^s).
 * optional pose supervision (GT-relative-pose L2) — the supervised
@@ -64,23 +68,37 @@ def photometric_loss(
     total = 0.0
     for s_idx in range(num_scales):
         depth = disp_to_depth(disps[s_idx][..., 0])  # (B, h, w)
+        tgt = tgt_pyr[s_idx]
+        mixed_per_src = []
         for src_i, src_pyr in enumerate(src_pyrs):
             warped, valid = projective_inverse_warp(
                 src_pyr[s_idx], depth, poses[:, src_i], Ks[s_idx],
                 fill=fill,
             )
-            tgt = tgt_pyr[s_idx]
             l1 = jnp.abs(warped - tgt)
             # SSIM output is VALID-cropped by 1px; crop l1+valid to match.
             sm = ssim(warped, tgt)
             l1c = l1[:, 1:-1, 1:-1]
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1c
             if masking == "border":
-                total = total + mixed.mean()
+                mixed_per_src.append(mixed)
             else:
                 vc = valid[:, 1:-1, 1:-1]
-                total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
-    return total / (num_scales * len(src_pyrs))
+                total = total + (mixed * vc).sum() / (
+                    vc.sum() * 3.0 + _EPS
+                ) / len(src_pyrs)
+        if masking == "border":
+            # Per-pixel MIN over sources (Monodepth2-style): a pixel
+            # out of frame in the past source is in frame in the
+            # future source, so the min drops the border charge that
+            # otherwise biases depth toward infinity (measured: e2e
+            # depth saturated at the 100 m cap under per-source border
+            # means), while a collapse that exits BOTH sources still
+            # pays full border error (no empty-mask optimum).
+            total = total + jnp.min(
+                jnp.stack(mixed_per_src, 0), axis=0
+            ).mean()
+    return total / num_scales
 
 
 def smoothness_loss(disps: list[jnp.ndarray], target: jnp.ndarray) -> jnp.ndarray:

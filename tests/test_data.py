@@ -472,6 +472,29 @@ class TestSnippets:
         bf = next(ds_full.batches(steps=1))
         assert not np.allclose(bf["K"], seq.K[None].astype(np.float32))
 
+    def test_dynamic_along_path_coverage_persists(self):
+        """dynamic_along_path=True keeps objects visible over LONG
+        sequences (start-anchored placement decays to 0 coverage past
+        ~frame 50 on loop worlds — measured r2)."""
+        kw = dict(
+            seed=99, height=48, width=64, plane_z=30.0,
+            forward_speed=0.8, trajectory="loop", loop_roll=True,
+            texture_mode="procedural", n_dynamic=10, dynamic_speed=0.8,
+        )
+        along = SyntheticSequence(
+            n_frames=200, dynamic_along_path=True, **kw
+        )
+        halves = [
+            np.mean([along.dynamic_mask(i).mean() for i in r])
+            for r in (range(0, 100, 20), range(100, 200, 20))
+        ]
+        assert halves[0] > 0.01 and halves[1] > 0.01
+        start = SyntheticSequence(n_frames=200, **kw)
+        tail = np.mean(
+            [start.dynamic_mask(i).mean() for i in range(100, 200, 20)]
+        )
+        assert tail < 0.01  # the decay along_path exists to fix
+
     def test_too_short_sequence_yields_nothing(self):
         """Regression: used to spin forever when no snippet fits."""
         tiny = SyntheticSequence(n_frames=2, height=16, width=16)

@@ -45,7 +45,7 @@ H, W = base.model.img_height, base.model.img_width
 WORLD_KW = dict(
     height=H, width=W, plane_z=30.0, forward_speed=0.8,
     trajectory="loop", loop_roll=True, texture_mode="procedural",
-    n_dynamic=4, dynamic_speed=0.6,
+    n_dynamic=8, dynamic_speed=0.8, dynamic_along_path=True,
 )
 # loop_roll=True: learnable camera-frame motion (see train_e2e.py) —
 # on strafing loops every variant fails the base task and the
