@@ -95,9 +95,16 @@ def photometric_loss(
             # depth saturated at the 100 m cap under per-source border
             # means), while a collapse that exits BOTH sources still
             # pays full border error (no empty-mask optimum).
-            total = total + jnp.min(
-                jnp.stack(mixed_per_src, 0), axis=0
-            ).mean()
+            mn = jnp.min(jnp.stack(mixed_per_src, 0), axis=0)
+            # Edge-margin crop (~5 %): early in training poses are
+            # ~zero and the ONLY depth gradient is the edge strip's
+            # border charge ("shrink the warp" -> depth rails to the
+            # cap before poses converge — measured; the landscape at
+            # converged poses has its minimum exactly at GT depth).
+            # Small legit parallax at the frame edge goes uncharged;
+            # a runaway warp still pays through the whole interior.
+            m = max(1, round(0.05 * min(mn.shape[1], mn.shape[2])))
+            total = total + mn[:, m:-m, m:-m].mean()
     return total / num_scales
 
 
