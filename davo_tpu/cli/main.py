@@ -136,12 +136,19 @@ def cmd_train(args) -> int:
         if logger:
             logger.log(step, metrics)
 
+    # Double-buffered H2D prefetch (SURVEY.md R9 queue-runner analog):
+    # batches land on device one step ahead; stats expose whether the
+    # host input pipeline ever becomes the bottleneck.
+    from davo_tpu.data.prefetch import PrefetchStats, device_prefetch
+
+    stats = PrefetchStats()
     fit(
         cfg,
-        ds.batches(steps=cfg.train.max_steps),
+        device_prefetch(ds.batches(steps=cfg.train.max_steps), stats=stats),
         checkpoint_dir=args.checkpoint_dir,
         log_fn=log_fn,
     )
+    print(f"prefetch: {stats.summary()}", flush=True)
     if logger:
         logger.close()
     return 0

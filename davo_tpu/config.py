@@ -71,11 +71,22 @@ class TrainConfig:
     ssim_weight: float = 0.85    # mix: ssim_weight*SSIM + (1-w)*L1
     # Photometric out-of-frame policy. "border" (default): edge-clamped
     # samples, plain mean over all pixels — the reference family's
-    # padding mode. "valid": mask out-of-frame pixels and normalize by
-    # the valid count; KEEPS a degenerate optimum (empty mask -> loss
-    # 0: a TPU run collapsed into it by warping everything out of
-    # frame) — retained for ablation only.
+    # padding mode. "automin": "border" + Monodepth2-style automasking
+    # (min with the unwarped-source residual; static/dynamic pixels
+    # hit the identity floor and stop pushing depth/pose). "valid":
+    # mask out-of-frame pixels and normalize by the valid count; KEEPS
+    # a degenerate optimum (empty mask -> loss 0: a TPU run collapsed
+    # into it by warping everything out of frame) — ablation only.
     photo_masking: str = "border"
+    # Ramp the photometric gradient INTO DEPTH over the first N steps
+    # (loss value unchanged; pose/flow gradients untouched). While
+    # poses are still wrong, the photometric landscape prefers
+    # depth -> inf everywhere ("shrink the warp toward identity"), and
+    # once the disp sigmoid saturates at the cap it cannot recover —
+    # measured: the 16-world e2e regime railed depth_med to exactly
+    # the 100 m cap inside the first 100 steps (flat disp, smooth=0).
+    # 0 disables.
+    depth_warmup_steps: int = 250
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     checkpoint_every: int = 5_000
     log_every: int = 100

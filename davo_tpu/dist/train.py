@@ -38,7 +38,7 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
     wrapper the reference never had.
     """
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, step_i):
         outputs = model.apply(
             params,
             batch["target"],
@@ -46,7 +46,7 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
             seg=batch.get("seg") if cfg.model.attention == "flow_seg" else None,
             train=True,
         )
-        return total_loss(outputs, batch, cfg.model, cfg.train)
+        return total_loss(outputs, batch, cfg.model, cfg.train, step=step_i)
 
     rep = replicated(mesh)
 
@@ -57,7 +57,7 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
 
     def step(state: TrainState, batch: dict):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, batch, state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -66,7 +66,7 @@ def make_train_step(
 ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics)."""
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, step_i):
         outputs = model.apply(
             params,
             batch["target"],
@@ -74,12 +74,12 @@ def make_train_step(
             seg=batch.get("seg") if cfg.model.attention == "flow_seg" else None,
             train=True,
         )
-        return total_loss(outputs, batch, cfg.model, cfg.train)
+        return total_loss(outputs, batch, cfg.model, cfg.train, step=step_i)
 
     @partial(jax.jit, donate_argnums=0)
     def step(state: TrainState, batch: dict):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch
+            state.params, batch, state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -25,6 +25,7 @@ fused by XLA inside the jitted train step. Reference semantics
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig, TrainConfig
@@ -46,6 +47,7 @@ def photometric_loss(
     K: jnp.ndarray,
     ssim_weight: float,
     masking: str = "border",
+    depth_grad_scale: jnp.ndarray | float = 1.0,
 ) -> jnp.ndarray:
     """Multi-scale view-synthesis loss.
 
@@ -53,8 +55,16 @@ def photometric_loss(
     poses: (B, S, 6); target: (B, H, W, 3); sources: (B, S, H, W, 3);
     K: (B, 3, 3) full-res intrinsics.
     masking: see `TrainConfig.photo_masking` — "border" (edge-clamped
-    samples, unmasked mean; no empty-mask degeneracy) or "valid"
-    (masked mean, ablation only).
+    samples, unmasked mean; no empty-mask degeneracy), "automin"
+    ("border" plus Monodepth2-style automasking expressed as min with
+    the UNWARPED-source residual: pixels whose appearance is already
+    static across frames — dynamic objects moving with the camera,
+    static-camera frames — hit the identity floor and send no gradient
+    into depth/pose; the floor is the static frame-difference, not 0,
+    so no empty-mask optimum appears), or "valid" (masked mean,
+    ablation only).
+    depth_grad_scale: multiplier on the gradient flowing into depth
+    (warm-up schedule; value and pose gradients are unaffected).
     """
     num_scales = len(disps)
     tgt_pyr = image_pyramid(target, num_scales)
@@ -63,11 +73,15 @@ def photometric_loss(
         for s in range(sources.shape[1])
     ]
     Ks = geo.intrinsics_pyramid(K, num_scales)
-    fill = "border" if masking == "border" else "zeros"
+    fill = "zeros" if masking == "valid" else "border"
 
     total = 0.0
     for s_idx in range(num_scales):
         depth = disp_to_depth(disps[s_idx][..., 0])  # (B, h, w)
+        if not (isinstance(depth_grad_scale, float) and depth_grad_scale == 1.0):
+            # value == depth; d/d(disp) scaled by depth_grad_scale.
+            dsg = jax.lax.stop_gradient(depth)
+            depth = dsg + depth_grad_scale * (depth - dsg)
         tgt = tgt_pyr[s_idx]
         mixed_per_src = []
         for src_i, src_pyr in enumerate(src_pyrs):
@@ -80,14 +94,26 @@ def photometric_loss(
             sm = ssim(warped, tgt)
             l1c = l1[:, 1:-1, 1:-1]
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1c
-            if masking == "border":
+            if masking in ("border", "automin"):
                 mixed_per_src.append(mixed)
+                if masking == "automin":
+                    # Identity (unwarped) residual: the Monodepth2
+                    # automask as a min term. Slightly upweighted so
+                    # ties (e.g. warp == identity at zero pose) keep
+                    # gradient flowing through the WARP branch.
+                    src_s = src_pyr[s_idx]
+                    id_l1 = jnp.abs(src_s - tgt)[:, 1:-1, 1:-1]
+                    id_sm = ssim(src_s, tgt)
+                    mixed_per_src.append(
+                        1.00001
+                        * (ssim_weight * id_sm + (1.0 - ssim_weight) * id_l1)
+                    )
             else:
                 vc = valid[:, 1:-1, 1:-1]
                 total = total + (mixed * vc).sum() / (
                     vc.sum() * 3.0 + _EPS
                 ) / len(src_pyrs)
-        if masking == "border":
+        if masking in ("border", "automin"):
             # Per-pixel MIN over sources (Monodepth2-style): a pixel
             # out of frame in the past source is in frame in the
             # future source, so the min drops the border charge that
@@ -179,16 +205,28 @@ def total_loss(
     batch: dict,
     mcfg: ModelConfig,
     tcfg: TrainConfig,
+    step: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
-    """Combine all loss terms; returns (scalar, metrics dict)."""
+    """Combine all loss terms; returns (scalar, metrics dict).
+
+    step: current optimizer step (traced scalar) — drives the depth
+    warm-up ramp (`TrainConfig.depth_warmup_steps`). None = no ramp.
+    """
     target = batch["target"]
     sources = batch["sources"]
     K = batch["K"]
     metrics: dict = {}
 
+    dgs: jnp.ndarray | float = 1.0
+    if step is not None and tcfg.depth_warmup_steps > 0:
+        dgs = jnp.clip(
+            step.astype(jnp.float32) / float(tcfg.depth_warmup_steps),
+            0.0, 1.0,
+        )
     photo = photometric_loss(
         outputs["disp"], outputs["poses"], target, sources, K,
         tcfg.ssim_weight, masking=tcfg.photo_masking,
+        depth_grad_scale=dgs,
     )
     smooth = smoothness_loss(outputs["disp"], target)
     loss = photo + tcfg.smooth_weight * smooth

@@ -538,3 +538,25 @@ class TestPrefetch:
         for got, want in zip(out, batches):
             assert isinstance(got["target"], jnp.ndarray)
             np.testing.assert_allclose(np.asarray(got["target"]), want["target"])
+
+    def test_overlap_stats(self, seq):
+        """PrefetchStats separates host production time from consumer
+        time and counts every produced batch."""
+        import time as _time
+
+        from davo_tpu.data.prefetch import PrefetchStats
+
+        ds = SnippetDataset(seq, batch_size=2)
+        batches = list(ds.batches(steps=4))
+        stats = PrefetchStats()
+        n = 0
+        for _ in device_prefetch(iter(batches), stats=stats):
+            _time.sleep(0.01)  # consumer "compute"
+            n += 1
+        assert n == 4
+        assert stats.batches >= 2  # steady-state productions measured
+        # 3 inter-batch gaps of >= 10 ms of consumer time.
+        assert stats.consumer_s > 0.02
+        assert 0.0 <= stats.host_fraction < 1.0
+        s = stats.summary()
+        assert set(s) == {"batches", "host_s", "consumer_s", "host_fraction"}

@@ -127,6 +127,69 @@ class TestLosses:
         assert bad_masked < 1e-6      # the trap this test pins
         assert bad_border > 5 * good  # border keeps it repulsive
 
+    def test_automin_drops_static_pixel_charge(self, seq):
+        """photo_masking="automin" (Monodepth2 automask as min-with-
+        identity): when source == target (static camera/world) the
+        identity floor is 0, so the loss vanishes even with a nonzero
+        pose, while plain border charges the misaligned warp. The tie
+        upweighting keeps automin == border when identity is worse."""
+        from davo_tpu.models.dispnet import depth_to_disp
+
+        t = 3
+        target = jnp.asarray(seq.frame(t))[None]
+        static_sources = target[:, None]  # source IS the target frame
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        disps = [depth_to_disp(jnp.asarray(seq.depth(t))[None])[..., None]]
+        pose = jnp.array([[[1.0, 0.0, 0.0, 0.0, 0.0, 0.0]]])  # wrong
+
+        border = float(
+            photometric_loss(disps, pose, target, static_sources, K, 0.85)
+        )
+        automin = float(
+            photometric_loss(
+                disps, pose, target, static_sources, K, 0.85,
+                masking="automin",
+            )
+        )
+        assert border > 0.01         # misaligned warp is charged
+        assert automin < 0.1 * border  # identity floor absorbs it
+
+        # Real moving pair: identity is WORSE than a GT warp, so the
+        # automin value must match plain border (min picks the warp).
+        from davo_tpu.core.geometry import mat_to_pose_vec
+
+        sources = jnp.asarray(seq.frame(t - 1))[None, None]
+        gt_pose = mat_to_pose_vec(
+            jnp.asarray(seq.warp_pose(t, t - 1), jnp.float32)
+        )[None, None]
+        b2 = float(photometric_loss(disps, gt_pose, target, sources, K, 0.85))
+        a2 = float(
+            photometric_loss(
+                disps, gt_pose, target, sources, K, 0.85, masking="automin"
+            )
+        )
+        assert a2 <= b2 + 1e-6
+
+    def test_automin_static_pair_sends_no_depth_gradient(self, seq):
+        """Static pixels hit the identity floor -> zero gradient into
+        disparity (the automask's purpose: dynamic objects moving with
+        the camera stop dragging depth)."""
+        from davo_tpu.models.dispnet import depth_to_disp
+
+        t = 3
+        target = jnp.asarray(seq.frame(t))[None]
+        static_sources = target[:, None]
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        disp0 = depth_to_disp(jnp.asarray(seq.depth(t))[None])[..., None]
+        pose = jnp.array([[[1.0, 0.0, 0.0, 0.0, 0.0, 0.0]]])
+
+        g = jax.grad(
+            lambda d: photometric_loss(
+                [d], pose, target, static_sources, K, 0.85, masking="automin"
+            )
+        )(disp0)
+        assert float(jnp.abs(g).max()) < 1e-7
+
     def test_smoothness_flat_disp_is_zero(self):
         disps = [jnp.full((1, 16, 16, 1), 0.3)]
         img = jnp.zeros((1, 16, 16, 3))

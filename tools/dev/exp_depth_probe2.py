@@ -23,7 +23,10 @@ from davo_tpu.models import presets
 from davo_tpu.models.dispnet import disp_to_depth
 from davo_tpu.train.loop import fit
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
+STEP_GRID = (
+    [int(v) for v in sys.argv[1].split(",")] if len(sys.argv) > 1
+    else [800, 2500]
+)
 
 base = presets.get("tiny")
 H, W = base.model.img_height, base.model.img_width
@@ -38,12 +41,15 @@ worlds = [
     )
     for s in range(1, 17)
 ]
-eval_seq = worlds[0]
-frames = np.stack([eval_seq.frame(i) for i in range(17)])
-segs = np.stack([eval_seq.seg(i) for i in range(17)])
-gt_med = float(np.median(eval_seq.depth(0)))
+train_w = worlds[0]
+unseen_w = SyntheticSequence(n_frames=20, seed=99, **WORLD_KW)
+evals = {
+    "train-world": train_w,
+    "unseen-world": unseen_w,
+}
 
-cfg = Config(
+for STEPS in STEP_GRID:
+  cfg = Config(
     model=base.model,
     train=TrainConfig(
         batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
@@ -51,33 +57,34 @@ cfg = Config(
         smooth_weight=0.1, log_every=max(STEPS // 8, 1),
     ),
 )
-ds = MultiSourceDataset(
-    worlds, batch_size=16, with_seg=True, with_gt=True,
-    augment="color", seed=0,
-)
-model, state, hist = fit(
-    cfg, ds.batches(steps=STEPS),
-    log_fn=lambda s, m: print(
-        f"step {s}: " + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
-        flush=True,
-    ),
-)
+  ds = MultiSourceDataset(
+      worlds, batch_size=16, with_seg=True, with_gt=True,
+      augment="color", seed=0,
+  )
+  model, state, hist = fit(
+      cfg, ds.batches(steps=STEPS),
+      log_fn=lambda s, m, n=STEPS: print(
+          f"[{n}] step {s}: "
+          + " ".join(f"{k}={v:.4f}" for k, v in m.items()),
+          flush=True,
+      ),
+  )
 
+  @jax.jit
+  def depth_fn(t, s, g):
+      out = model.apply(state.params, t, s[:, None], seg=g, train=True)
+      return disp_to_depth(out["disp"][0][..., 0])
 
-@jax.jit
-def depth_fn(t, s, g):
-    out = model.apply(state.params, t, s[:, None], seg=g, train=True)
-    return disp_to_depth(out["disp"][0][..., 0])
-
-
-d = np.asarray(
-    depth_fn(
-        jnp.asarray(frames[1:17]), jnp.asarray(frames[0:16]),
-        jnp.asarray(segs[1:17]),
-    )
-)
-print(
-    f"depth_med={float(np.median(d)):.1f} vs GT {gt_med:.1f} "
-    f"(ratio {float(np.median(d)) / gt_med:.2f})",
-    flush=True,
-)
+  for tag, w in evals.items():
+      fr = np.stack([w.frame(i) for i in range(17)])
+      sg = np.stack([w.seg(i) for i in range(17)])
+      gt_med = float(np.median(w.depth(0)))
+      d = np.asarray(
+          depth_fn(jnp.asarray(fr[1:17]), jnp.asarray(fr[0:16]),
+                   jnp.asarray(sg[1:17]))
+      )
+      print(
+          f"[{STEPS}] {tag}: depth_med={float(np.median(d)):.1f} vs GT "
+          f"{gt_med:.1f} (ratio {float(np.median(d)) / gt_med:.2f})",
+          flush=True,
+      )
