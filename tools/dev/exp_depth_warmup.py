@@ -3,7 +3,7 @@ spread loop-roll worlds, B=16, supervised): track depth_med DURING
 training, warmup on vs off.
 
 CPU: env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu python \
-    tools/dev/exp_depth_warmup.py [STEPS] [warmups,comma]
+    tools/dev/exp_depth_warmup.py [STEPS] [warmups,comma] [masking]
 """
 
 import os
@@ -30,6 +30,7 @@ WARMUPS = (
     [int(v) for v in sys.argv[2].split(",")] if len(sys.argv) > 2
     else [0, 250]
 )
+MASKING = sys.argv[3] if len(sys.argv) > 3 else "border"
 
 base = presets.get("tiny")
 H, W = base.model.img_height, base.model.img_width
@@ -56,6 +57,7 @@ for warmup in WARMUPS:
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=STEPS, pose_supervision_weight=100.0,
             smooth_weight=0.1, depth_warmup_steps=warmup,
+            photo_masking=MASKING,
             log_every=max(STEPS // 8, 1),
         ),
     )
@@ -80,7 +82,7 @@ for warmup in WARMUPS:
         if (i + 1) % max(STEPS // 16, 1) == 0 or i == 0:
             dm = float(depth_fn(state.params))
             print(
-                f"[wu={warmup}] step {i + 1}: depth_med={dm:.1f} "
+                f"[{MASKING} wu={warmup}] step {i + 1}: depth_med={dm:.1f} "
                 f"photo={float(metrics['photo']):.4f} "
                 f"pose_sup={float(metrics.get('pose_sup', 0.0)):.4f} "
                 f"smooth={float(metrics['smooth']):.6f}",
@@ -92,7 +94,7 @@ for warmup in WARMUPS:
             break
     dm = float(depth_fn(state.params))
     print(
-        f"[wu={warmup}] FINAL depth_med={dm:.1f} vs GT {gt_med:.1f} "
+        f"[{MASKING} wu={warmup}] FINAL depth_med={dm:.1f} vs GT {gt_med:.1f} "
         f"(ratio {dm / gt_med:.2f})",
         flush=True,
     )
