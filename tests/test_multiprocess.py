@@ -162,6 +162,219 @@ print(f"proc {pid} phase={phase} DONE start={start} last_loss={losses[-1]:.4f}",
 """
 
 
+# Shared between the pytest process (uninterrupted reference run) and
+# the BA fault workers: exec'd here, embedded verbatim in the worker
+# script, so both sides build bit-identical problems from the seed.
+BA_PROBLEM_SRC = r"""
+import numpy as np
+import jax.numpy as jnp
+from davo_tpu.ba.gn import BAProblem
+from davo_tpu.ba import residuals as _res
+from davo_tpu.core import geometry as _geo
+
+
+def make_ba_problem(seed=42, M=4, N=64):
+    rng = np.random.default_rng(seed)
+    K = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+    pts = rng.uniform([-4, -3, 6], [4, 3, 10], size=(N, 3))
+    poses_wc = []
+    for i in range(M):
+        xi = np.concatenate(
+            [[i * 0.5 - M * 0.25, 0, 0], rng.normal(0, 0.02, 3)]
+        )
+        poses_wc.append(np.asarray(_geo.se3_exp(jnp.asarray(xi))))
+    poses_cw = np.linalg.inv(np.stack(poses_wc))
+    pix, z = _res.project_points(
+        jnp.asarray(poses_cw, jnp.float32),
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(K, jnp.float32),
+    )
+    pix = np.asarray(pix)
+    mask = (
+        (np.asarray(z) > 0.1)
+        & (pix[..., 0] >= 0) & (pix[..., 0] <= 127)
+        & (pix[..., 1] >= 0) & (pix[..., 1] <= 95)
+    ).astype(np.float32)
+    obs = pix + rng.normal(0, 0.3, pix.shape)
+    poses_init = poses_cw.copy()
+    for i in range(2, M):  # first two poses are gauge anchors
+        xi = rng.normal(0, 0.05, 6)
+        poses_init[i] = (
+            np.asarray(_geo.se3_exp(jnp.asarray(xi))) @ poses_init[i]
+        )
+    pts_init = pts + rng.normal(0, 0.1, pts.shape)
+    return BAProblem(
+        poses_cw=jnp.asarray(poses_init, jnp.float32),
+        points_w=jnp.asarray(pts_init, jnp.float32),
+        K=jnp.asarray(K, jnp.float32),
+        observations=jnp.asarray(obs, jnp.float32),
+        mask=jnp.asarray(mask, jnp.float32),
+    )
+"""
+
+
+BA_FAULT_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+sys.path.insert(0, "/root/repo")
+pid = int(sys.argv[1]); phase = sys.argv[2]; ckpt_dir = sys.argv[3]
+
+import jax
+from davo_tpu.dist.bootstrap import initialize
+topo = initialize(
+    coordinator_address="127.0.0.1:%PORT%", num_processes=4, process_id=pid
+)
+assert topo.global_device_count == 8, topo
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from davo_tpu.config import BAConfig
+from davo_tpu.ba.gn import ba_cost
+from davo_tpu.ba.sharded import make_sharded_ba_refine, shard_problem
+
+%PROBLEM_SRC%
+
+ROUNDS = 6
+CRASH_AT = 3   # proc 2 dies after this many completed rounds
+cfg = BAConfig(max_iterations=1)
+mesh = Mesh(
+    np.asarray(jax.devices()).reshape(1, 1, 8), ("data", "model", "window")
+)
+problem = make_ba_problem()
+POSES = os.path.join(ckpt_dir, "poses.npy")
+POINTS = os.path.join(ckpt_dir, "points.npy")
+ROUNDF = os.path.join(ckpt_dir, "round.txt")
+start = 0
+if phase == "resume":
+    # Restore the committed mid-BA state on every process: poses are
+    # replicated; landmarks were all-gathered before the save, so the
+    # checkpoint is shard-layout-independent (hosts may change count).
+    start = int(open(ROUNDF).read())
+    assert start >= CRASH_AT, f"mid-BA checkpoint missing (round={start})"
+    problem = problem._replace(
+        poses_cw=jnp.asarray(np.load(POSES)),
+        points_w=jnp.asarray(np.load(POINTS)),
+    )
+problem = shard_problem(problem, mesh)
+refine = make_sharded_ba_refine(cfg, mesh)
+# Landmarks live sharded over 'window'; replicate for the checkpoint
+# (one in-jit all_gather; makes the blob host-count independent).
+gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+
+for r in range(start, ROUNDS):
+    problem = refine(problem)
+    if pid == 0:
+        poses = np.asarray(problem.poses_cw)
+        points = np.asarray(gather(problem.points_w))
+        for path, arr in ((POSES, poses), (POINTS, points)):
+            with open(path + ".tmp", "wb") as f:
+                np.save(f, arr)
+            os.replace(path + ".tmp", path)
+        with open(ROUNDF + ".tmp", "w") as f:
+            f.write(str(r + 1))
+        os.replace(ROUNDF + ".tmp", ROUNDF)
+    else:
+        # Non-writers still materialize the gather so the collective
+        # is executed lockstep on every process.
+        np.asarray(problem.poses_cw); np.asarray(gather(problem.points_w))
+    if phase == "crash" and pid == 2 and r + 1 == CRASH_AT:
+        os._exit(17)  # simulated host failure mid-refinement
+
+cost = float(ba_cost(problem, cfg.huber_delta))
+assert np.isfinite(cost), cost
+print(f"proc {pid} phase={phase} DONE start={start} cost={cost:.6f}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_fault_injection_ba_four_process(tmp_path):
+    """SURVEY.md §5 failure-recovery at N>2, mid-BA: 4 processes (8
+    global devices) run landmark-sharded BA with the 'window' axis
+    spanning all hosts; one process dies between GN rounds; all four
+    relaunch and resume from the committed round checkpoint. The
+    resumed result must match an uninterrupted single-process run."""
+    port = 28100 + os.getpid() % 400
+    script = BA_FAULT_WORKER.replace("%PORT%", str(port)).replace(
+        "%PROBLEM_SRC%", BA_PROBLEM_SRC
+    )
+    worker_py = tmp_path / "ba_fault_worker.py"
+    worker_py.write_text(script)
+    ckpt_dir = tmp_path / "ckpt"
+    os.makedirs(ckpt_dir)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "PALLAS_AXON_POOL_IPS")
+    }
+
+    def launch(phase):
+        procs = []
+        for i in range(4):
+            with open(tmp_path / f"{phase}_p{i}.log", "w") as log:
+                procs.append(
+                    subprocess.Popen(
+                        [sys.executable, str(worker_py), str(i), phase,
+                         str(ckpt_dir)],
+                        stdout=log,
+                        stderr=subprocess.STDOUT,
+                        text=True,
+                        env=env,
+                    )
+                )
+        return procs
+
+    def read_log(phase, i):
+        return (tmp_path / f"{phase}_p{i}.log").read_text()
+
+    # Phase 1: proc 2 hard-exits after round 3 of 6. Survivors block
+    # (or fail) on round 4's psum; the driver tears the job down.
+    procs = launch("crash")
+    procs[2].wait(timeout=300)
+    assert procs[2].returncode == 17, (
+        f"expected injected crash:\n{read_log('crash', 2)[-2000:]}"
+    )
+    for i in (0, 1, 3):
+        try:
+            procs[i].wait(timeout=10)
+        except subprocess.TimeoutExpired:
+            pass
+        procs[i].kill()
+        procs[i].wait()
+
+    assert int((ckpt_dir / "round.txt").read_text()) >= 3
+
+    # Phase 2: relaunch all four; they restore mid-BA state and finish.
+    procs = launch("resume")
+    for p in procs:
+        p.wait(timeout=300)
+    for i, p in enumerate(procs):
+        out = read_log("resume", i)
+        assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} phase=resume DONE" in out
+    assert int((ckpt_dir / "round.txt").read_text()) == 6
+
+    # The resumed trajectory must equal an uninterrupted run: GN is
+    # deterministic, so crash/restore may not change the answer.
+    import jax.numpy as jnp
+    import numpy as np
+    from davo_tpu.ba.gn import ba_cost, ba_refine
+    from davo_tpu.config import BAConfig
+
+    ns = {}
+    exec(BA_PROBLEM_SRC, ns)
+    ref_problem = ns["make_ba_problem"]()
+    init_cost = float(ba_cost(ref_problem, 1.0))
+    ref = ba_refine(ref_problem, BAConfig(max_iterations=6))
+    final_poses = np.load(ckpt_dir / "poses.npy")
+    np.testing.assert_allclose(
+        final_poses, np.asarray(ref.poses_cw), atol=1e-3
+    )
+    ref_cost = float(ba_cost(ref, 1.0))
+    assert ref_cost < 0.5 * init_cost, (ref_cost, init_cost)
+
+
 @pytest.mark.slow
 def test_fault_injection_restart_from_ckpt(tmp_path):
     """SURVEY.md §5 failure-recovery: kill one of two hosts mid-train,
