@@ -110,8 +110,27 @@ def cmd_train(args) -> int:
                 "or train from a KITTI root", file=sys.stderr,
             )
             return 1
-        prepared = PreparedSnippets(args.data, seed=cfg.train.seed)
-        ds = _PreparedWrapper(prepared, cfg.train.batch_size)
+        ds = None
+        if args.loader in ("auto", "native"):
+            # C++ decode pool (tools/native_loader): overlaps JPEG
+            # decode with the train step instead of serializing them.
+            try:
+                from davo_tpu.data.native_loader import NativeSnippetLoader
+
+                ds = NativeSnippetLoader(
+                    args.data,
+                    batch_size=cfg.train.batch_size,
+                    seed=cfg.train.seed,
+                )
+                print("input pipeline: native C++ loader", flush=True)
+            except Exception as e:
+                if args.loader == "native":
+                    raise
+                print(f"native loader unavailable ({e}); python reader",
+                      file=sys.stderr)
+        if ds is None:
+            prepared = PreparedSnippets(args.data, seed=cfg.train.seed)
+            ds = _PreparedWrapper(prepared, cfg.train.batch_size)
     else:
         from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry
         from davo_tpu.data.snippets import KittiAdapter
@@ -461,6 +480,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--log-dir", default=None)
     t.add_argument("--set", action="append", help="dotted override k=v")
+    t.add_argument(
+        "--loader", default="auto", choices=("auto", "native", "python"),
+        help="prepared-layout reader: C++ decode pool or python",
+    )
     t.set_defaults(fn=cmd_train)
 
     i = sub.add_parser("infer", help="predict a trajectory")
