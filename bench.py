@@ -32,6 +32,9 @@ BASELINE_FPS = 15.0
 BATCH = 128
 WARMUP = 2
 ITERS = 8
+LOOPS = 5  # repo timing protocol: min over >= 5 loops (CLAUDE.md) —
+           # single loops are contaminated by secondary compiles and
+           # tunnel hiccups (utils/profiling.timed methodology)
 
 
 def main() -> None:
@@ -69,13 +72,15 @@ def main() -> None:
     for _ in range(WARMUP):
         infer(targets, sources, seg).block_until_ready()
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        poses = infer(targets, sources, seg)
-    poses.block_until_ready()
-    dt = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(LOOPS):
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            poses = infer(targets, sources, seg)
+        poses.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
 
-    fps = BATCH * ITERS / dt
+    fps = BATCH * ITERS / best
     print(
         json.dumps(
             {

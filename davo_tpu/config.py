@@ -49,7 +49,8 @@ class ModelConfig:
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift
     # channel Gram matmuls on the MXU with strided-slice diagonal
-    # extraction. All produce identical outputs.
+    # extraction; "patches" = one conv_general_dilated_patches op +
+    # one einsum contraction. All produce identical outputs.
     costvol_impl: str = "slices"
     # >0: shared learned 1x1 projection of both feature maps to this
     # many channels before correlation (LiteFlowNet-style). The

@@ -112,6 +112,32 @@ def cost_volume_gram(
     return jnp.stack(slices, axis=-1) / C
 
 
+def cost_volume_patches(
+    f1: jnp.ndarray, f2: jnp.ndarray, search: int
+) -> jnp.ndarray:
+    """`cost_volume` as ONE patches op + ONE contraction (identical
+    output, verified to 2e-7). `conv_general_dilated_patches` extracts
+    all (2s+1)^2 shifted views of f2 in a single XLA op (feature order
+    (C, ky, kx), ky-major — matching the slice loop's dy-major order),
+    and the correlation is a single batched einsum over C. Candidate
+    replacement for the (2s+1)^2 slice kernels whose dispatch count is
+    the measured costvol cost (r2c profile: time scales with slice
+    count, not bytes); the risk is materializing the (B,H,W,C*(2s+1)^2)
+    patches tensor if XLA does not fuse it into the contraction.
+    """
+    B, H, W, C = f1.shape
+    d = 2 * search + 1
+    p = jax.lax.conv_general_dilated_patches(
+        f2,
+        filter_shape=(d, d),
+        window_strides=(1, 1),
+        padding=((search, search), (search, search)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    p = p.reshape(B, H, W, C, d * d)
+    return jnp.einsum("bhwc,bhwck->bhwk", f1, p) / C
+
+
 class FeaturePyramid(nn.Module):
     cfg: ModelConfig
 
@@ -208,6 +234,8 @@ class FlowNetLite(nn.Module):
                 cv_fn = cost_volume_gram
             elif self.cfg.costvol_impl == "scan":
                 cv_fn = cost_volume_scan
+            elif self.cfg.costvol_impl == "patches":
+                cv_fn = cost_volume_patches
             else:
                 cv_fn = cost_volume
             f1c, f2c = f1, f2w

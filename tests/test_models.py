@@ -199,6 +199,20 @@ class TestFlowNet:
                 np.asarray(got), np.asarray(ref), atol=1e-6
             )
 
+    def test_cost_volume_patches_matches_slices(self):
+        """One-patches-op formulation == the unrolled slice form."""
+        from davo_tpu.models.flownet import cost_volume_patches
+
+        rng = np.random.default_rng(5)
+        for H, W, C, s in ((8, 8, 32, 2), (6, 26, 16, 4), (5, 13, 8, 3)):
+            f1 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            f2 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            ref = cost_volume(f1, f2, search=s)
+            got = cost_volume_patches(f1, f2, search=s)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-5
+            )
+
     def test_costvol_projection(self, batch):
         """costvol_feat_channels: shared cv_proj params exist, pyramid
         shapes unchanged, gradients flow through the projection."""
