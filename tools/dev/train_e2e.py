@@ -44,9 +44,15 @@ from davo_tpu.train.loop import fit
 
 STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/train_e2e.json"
+# Optional loss-regime overrides (argv 3/4): photometric masking mode
+# and depth-warm-up steps, so candidate loss defaults (e.g. automin
+# with wu=0, which needs no warm-up on chip — R2_RESULTS loss ladder)
+# revalidate through the SAME gates as the recorded artifact.
+MASKING = sys.argv[3] if len(sys.argv) > 3 else "border"
+WARMUP = int(sys.argv[4]) if len(sys.argv) > 4 else 250
 EVAL_FRAMES = 1300  # * 0.8 m/frame ~ 1,040 m: all 100..800 m segments
 
-report = {}
+report = {"photo_masking": MASKING, "depth_warmup_steps": WARMUP}
 base = presets.get("tiny")
 H, W = base.model.img_height, base.model.img_width
 
@@ -90,6 +96,7 @@ def run_tier(
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=steps,
             pose_supervision_weight=sup_weight, smooth_weight=0.1,
+            photo_masking=MASKING, depth_warmup_steps=WARMUP,
             log_every=max(steps // 10, 1),
         ),
     )
