@@ -89,6 +89,10 @@ class TrainConfig:
     # 0 disables.
     depth_warmup_steps: int = 250
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
+    # Rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for dropping all forward activations from
+    # HBM, so batch size can grow at fixed memory. Same gradients.
+    remat: bool = False
     checkpoint_every: int = 5_000
     log_every: int = 100
     image_every: int = 0  # >0: warped/disparity panels every N steps

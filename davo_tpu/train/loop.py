@@ -66,13 +66,22 @@ def make_train_step(
 ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics)."""
 
+    def forward(params, target, sources, seg):
+        return model.apply(params, target, sources, seg=seg, train=True)
+
+    if cfg.train.remat:
+        # HBM/FLOP trade (SURVEY §7.0 design stance): drop the forward
+        # activations and recompute them in the backward pass, so
+        # batch (and with it MXU utilization) can grow at fixed HBM.
+        # Grads are bit-comparable to the unremat'd step (tested).
+        forward = jax.checkpoint(forward)
+
     def loss_fn(params, batch, step_i):
-        outputs = model.apply(
+        outputs = forward(
             params,
             batch["target"],
             batch["sources"],
-            seg=batch.get("seg") if cfg.model.attention == "flow_seg" else None,
-            train=True,
+            batch.get("seg") if cfg.model.attention == "flow_seg" else None,
         )
         return total_loss(outputs, batch, cfg.model, cfg.train, step=step_i)
 

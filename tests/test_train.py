@@ -258,6 +258,38 @@ class TestTrainStep:
         assert losses[-1] < losses[0] * 0.9
         assert int(state.step) == 25
 
+    def test_remat_step_matches_plain(self, dataset):
+        """train.remat=True (jax.checkpoint around the forward) must
+        produce the same loss and the same post-step params as the
+        plain step — it changes memory, not math."""
+        import dataclasses
+
+        batch = next(dataset.batches(steps=1))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        results = []
+        for remat in (False, True):
+            cfg = Config(
+                model=TINY,
+                train=TrainConfig(
+                    batch_size=2,
+                    learning_rate=1e-3,
+                    max_steps=1,
+                    pose_supervision_weight=10.0,
+                    remat=remat,
+                ),
+            )
+            model, state, tx = create_state(cfg, jax.random.key(0), batch)
+            step = make_train_step(model, tx, cfg)
+            state, metrics = step(state, batch)
+            results.append((float(metrics["total"]), state.params))
+        assert np.isclose(results[0][0], results[1][0], rtol=1e-6)
+        flat0 = jax.tree_util.tree_leaves(results[0][1])
+        flat1 = jax.tree_util.tree_leaves(results[1][1])
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+
     def test_cosine_schedule_trains_and_decays(self, dataset):
         """lr_schedule="cosine": still learns, and by max_steps the
         effective lr has decayed (update magnitude shrinks ~100x)."""
