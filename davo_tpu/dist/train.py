@@ -38,13 +38,20 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
     wrapper the reference never had.
     """
 
+    def forward(params, target, sources, seg):
+        return model.apply(params, target, sources, seg=seg, train=True)
+
+    if cfg.train.remat:
+        # Same HBM/FLOP trade as the single-device step (train/loop.py):
+        # activations recomputed in the backward pass.
+        forward = jax.checkpoint(forward)
+
     def loss_fn(params, batch, step_i):
-        outputs = model.apply(
+        outputs = forward(
             params,
             batch["target"],
             batch["sources"],
-            seg=batch.get("seg") if cfg.model.attention == "flow_seg" else None,
-            train=True,
+            batch.get("seg") if cfg.model.attention == "flow_seg" else None,
         )
         return total_loss(outputs, batch, cfg.model, cfg.train, step=step_i)
 

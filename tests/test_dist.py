@@ -62,13 +62,16 @@ class TestMesh:
 
 
 class TestShardedTrainStep:
-    def test_matches_single_device(self, batch):
+    @pytest.mark.parametrize("remat", [False, True])
+    def test_matches_single_device(self, batch, remat):
         """DP on 8 devices must equal the unsharded step (same math,
-        psum-reduced grads) to f32 tolerance."""
+        psum-reduced grads) to f32 tolerance — with and without
+        forward rematerialization."""
         cfg = Config(
             model=TINY,
             train=TrainConfig(
-                batch_size=8, learning_rate=1e-3, pose_supervision_weight=10.0
+                batch_size=8, learning_rate=1e-3,
+                pose_supervision_weight=10.0, remat=remat,
             ),
         )
         model, state0, tx = create_state(cfg, jax.random.key(0), batch)
