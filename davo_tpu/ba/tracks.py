@@ -182,11 +182,13 @@ def refine_trajectory_tracked(
     return out
 
 
-def make_flow_fn(model, params, cfg, frames: np.ndarray):
+def make_flow_fn(params, cfg, frames: np.ndarray):
     """Net-backed flow source for `refine_trajectory_tracked`.
 
     Runs the trained FlowNetLite on frame pairs (jitted, cached) and
-    upsamples the finest level to full resolution.
+    upsamples the finest level to full resolution. The net is rebuilt
+    from `cfg.model` and fed the DavoModel's `flownet` param subtree —
+    exactly the submodule that produced training flows.
     """
     import jax
     import jax.numpy as jnp

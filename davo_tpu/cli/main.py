@@ -94,7 +94,12 @@ def cmd_train(args) -> int:
             batch_size=cfg.train.batch_size,
             with_seg=cfg.model.attention == "flow_seg",
             with_gt=cfg.train.pose_supervision_weight > 0,
-            augment=True,
+            # Zoom/crop makes GT translation magnitude unobservable
+            # (no K input to the net) — color-only when supervised
+            # (see data/snippets.py _scale_crop note; train_e2e.py).
+            augment=(
+                "color" if cfg.train.pose_supervision_weight > 0 else True
+            ),
             seed=cfg.train.seed,
         )
     elif os.path.exists(os.path.join(args.data, "train.txt")):
@@ -141,7 +146,11 @@ def cmd_train(args) -> int:
             ko, cfg.model.img_height, cfg.model.img_width, native
         )
         ds = SnippetDataset(
-            ad, batch_size=cfg.train.batch_size, augment=True,
+            ad, batch_size=cfg.train.batch_size,
+            # Same supervised/zoom interaction as the synthetic branch.
+            augment=(
+                "color" if cfg.train.pose_supervision_weight > 0 else True
+            ),
             with_gt=cfg.train.pose_supervision_weight > 0,
         )
 
@@ -152,8 +161,6 @@ def cmd_train(args) -> int:
     def log_fn(step, metrics):
         line = " ".join(f"{k}={v:.4f}" for k, v in metrics.items())
         print(f"step {step}: {line}", flush=True)
-        if logger:
-            logger.log(step, metrics)
 
     # Double-buffered H2D prefetch (SURVEY.md R9 queue-runner analog):
     # batches land on device one step ahead; stats expose whether the
@@ -166,6 +173,9 @@ def cmd_train(args) -> int:
         device_prefetch(ds.batches(steps=cfg.train.max_steps), stats=stats),
         checkpoint_dir=args.checkpoint_dir,
         log_fn=log_fn,
+        # fit() writes scalars AND (when train.image_every > 0)
+        # warped/disparity image panels through the logger.
+        metrics_logger=logger,
     )
     print(f"prefetch: {stats.summary()}", flush=True)
     if logger:
@@ -427,7 +437,7 @@ def cmd_ba(args) -> int:
 
     if args.ckpt:
         model, params = _restore_model(cfg, args.ckpt, frames, segs)
-        flow_fn = make_flow_fn(model, params, cfg, frames[:n])
+        flow_fn = make_flow_fn(params, cfg, frames[:n])
     elif args.data == "synthetic":
         from davo_tpu.data.synthetic import SyntheticSequence
 

@@ -282,10 +282,29 @@ class CityscapesSeq:
     def _load_K(self) -> np.ndarray:
         import json as _json
 
+        import glob as _glob
+
         cam_dir = os.path.join(self.root, "camera", self.split, self.city)
-        # Any frame's camera json works (fixed rig per sequence).
+        # Any frame's camera json works (fixed rig per sequence) — but
+        # the real Cityscapes camera package ships a json only for the
+        # ANNOTATED frame of each 30-frame group (e.g. *_000019_*),
+        # not frame 0, so search the group's jsons rather than
+        # assuming frames[0] has one.
         stem = self.frames[0][: -len("_leftImg8bit.png")]
         path = os.path.join(cam_dir, stem + "_camera.json")
+        if not os.path.exists(path):
+            matches = sorted(
+                _glob.glob(
+                    os.path.join(
+                        cam_dir, f"{self.city}_{self.seq}_*_camera.json"
+                    )
+                )
+            ) or sorted(_glob.glob(os.path.join(cam_dir, "*_camera.json")))
+            if not matches:
+                raise FileNotFoundError(
+                    f"no camera json for {self.city}_{self.seq} in {cam_dir}"
+                )
+            path = matches[0]
         with open(path) as f:
             intr = _json.load(f)["intrinsic"]
         return np.array(

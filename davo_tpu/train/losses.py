@@ -180,7 +180,12 @@ def flow_losses(
     `photometric_loss` (empty-mask degeneracy applies equally here).
     """
     H, W = target.shape[1], target.shape[2]
-    fill = "border" if masking == "border" else "zeros"
+    # Only the explicit "valid" ablation uses the masked mean; automin
+    # takes the border-clamped path like "border" — mapping it to the
+    # zero-filled masked mean would hand the flow net the empty-mask
+    # optimum (warp everything out of frame, vc.sum() -> 0) that the
+    # automin photometric path exists to remove.
+    fill = "zeros" if masking == "valid" else "border"
     total = 0.0
     count = 0
     for s_i, pyr in enumerate(flow_pyrs):
@@ -191,11 +196,11 @@ def flow_losses(
             l1 = jnp.abs(warped - target)[:, 1:-1, 1:-1]
             sm = ssim(warped, target)
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1
-            if masking == "border":
-                total = total + mixed.mean()
-            else:
+            if masking == "valid":
                 vc = valid[:, 1:-1, 1:-1]
                 total = total + (mixed * vc).sum() / (vc.sum() * 3.0 + _EPS)
+            else:
+                total = total + mixed.mean()
             count += 1
     return total / max(count, 1)
 

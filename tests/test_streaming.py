@@ -217,12 +217,15 @@ class TestOfflinePrep:
                     (seq.frame(i) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
                 ),
             )
-            (cam_dir / (stem + "_camera.json")).write_text(
-                _json.dumps({"intrinsic": {
-                    "fx": float(K[0, 0]), "fy": float(K[1, 1]),
-                    "u0": float(K[0, 2]), "v0": float(K[1, 2]),
-                }})
-            )
+            # Like the real camera package: ONE json per sequence
+            # group, for an annotated mid-group frame — NOT frame 0.
+            if i == 3:
+                (cam_dir / (stem + "_camera.json")).write_text(
+                    _json.dumps({"intrinsic": {
+                        "fx": float(K[0, 0]), "fy": float(K[1, 1]),
+                        "u0": float(K[0, 2]), "v0": float(K[1, 2]),
+                    }})
+                )
 
         assert CityscapesSeq.list_sequences(str(root)) == [(city, sid)]
         cs = CityscapesSeq(str(root), "train", city, sid)

@@ -127,6 +127,33 @@ class TestLosses:
         assert bad_masked < 1e-6      # the trap this test pins
         assert bad_border > 5 * good  # border keeps it repulsive
 
+    def test_flow_loss_automin_no_empty_mask_optimum(self, seq):
+        """Regression (r3 review): flow_losses under masking="automin"
+        must NOT reward a flow that warps everything out of frame —
+        mapping automin to the zero-filled masked mean reintroduced
+        the empty-mask optimum for the flow branch."""
+        from davo_tpu.train.losses import flow_losses
+
+        t = 3
+        target = jnp.asarray(seq.frame(t))[None]
+        sources = jnp.asarray(seq.frame(t - 1))[None, None]
+        H, W = target.shape[1], target.shape[2]
+        zero_flow = [jnp.zeros((1, H // 4, W // 4, 2), jnp.float32)]
+        runaway = [jnp.full((1, H // 4, W // 4, 2), 1e4, jnp.float32)]
+        for masking in ("border", "automin"):
+            base = float(
+                flow_losses([zero_flow], target, sources, 0.85, masking)
+            )
+            oob = float(
+                flow_losses([runaway], target, sources, 0.85, masking)
+            )
+            assert oob > base, (masking, oob, base)
+        # The "valid" ablation keeps the documented trap.
+        oob_valid = float(
+            flow_losses([runaway], target, sources, 0.85, "valid")
+        )
+        assert oob_valid < 1e-6
+
     def test_automin_drops_static_pixel_charge(self, seq):
         """photo_masking="automin" (Monodepth2 automask as min-with-
         identity): when source == target (static camera/world) the

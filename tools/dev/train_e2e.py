@@ -175,7 +175,7 @@ model, state = tier_a["model_state"]
 from davo_tpu.ba.tracks import make_flow_fn, refine_trajectory_tracked
 
 cfg_full = presets.get("tiny")
-flow_fn = make_flow_fn(model, state.params, cfg_full, frames[:257])
+flow_fn = make_flow_fn(state.params, cfg_full, frames[:257])
 
 
 @jax.jit
