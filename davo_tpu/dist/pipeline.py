@@ -1,5 +1,6 @@
-"""Pipeline parallelism (SURVEY.md §2.2 P3): stage the VO forward
-(flow-net -> attention+pose) across device groups.
+"""Pipeline parallelism (SURVEY.md §2.2 P3): stage the VO pipeline
+(flow-net -> attention+pose) across device groups — forward AND
+training (grads through the schedule, `make_pipeline_train_fns`).
 
 The reference is single-GPU and has no analog; this is a target-only
 capability tier. TPU-native design: a GPipe-style schedule written as
@@ -78,6 +79,14 @@ def make_pipeline_pose_fn(
     stage is a memory optimization, not a semantics change).
     """
     assert mesh.shape[axis] == NUM_STAGES, mesh.shape
+    pipelined = _make_pipelined(cfg, mesh, axis)
+    return jax.jit(partial(pipelined, params))
+
+
+def _make_pipelined(cfg: ModelConfig, mesh: Mesh, axis: str = "stage"):
+    """Staged (params, microbatches) -> (M, mb, 6) — params a traced
+    argument so the schedule is differentiable (see
+    `make_pipeline_train_fns`)."""
     fnet = FlowNetLite(cfg)
     pnet = PoseNet(cfg)
     use_attn = cfg.attention == "flow_seg"
@@ -85,9 +94,8 @@ def make_pipeline_pose_fn(
         from davo_tpu.models.attention import RegionAttention
 
         anet = RegionAttention(cfg)
-    p = params["params"]
 
-    def flow_stage(buf):
+    def flow_stage(p, buf):
         tgt, src = buf[..., 0:3], buf[..., 3:6]
         pyr = fnet.apply({"params": p["flownet"]}, tgt, src)
         H, W = tgt.shape[1], tgt.shape[2]
@@ -98,7 +106,7 @@ def make_pipeline_pose_fn(
         )
         return buf, jnp.zeros((buf.shape[0], 6), jnp.float32)
 
-    def pose_stage(buf):
+    def pose_stage(p, buf):
         tgt, src = buf[..., 0:3], buf[..., 3:6]
         extra = buf[..., 6:9]  # dir + flow, the DavoModel layout
         region_fn = None
@@ -117,11 +125,12 @@ def make_pipeline_pose_fn(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(),),
+        in_specs=(P(), P()),
         out_specs=P(),
         check_vma=False,
     )
-    def pipelined(microbatches):  # (M, mb, H, W, 10), replicated
+    def pipelined(params, microbatches):  # both replicated
+        p = params["params"]
         M = microbatches.shape[0]
         stage = lax.axis_index(axis)
         perm = [(i, (i + 1) % NUM_STAGES) for i in range(NUM_STAGES)]
@@ -137,6 +146,7 @@ def make_pipeline_pose_fn(
             buf, pose = lax.switch(
                 jnp.minimum(stage, NUM_STAGES - 1),
                 [flow_stage, pose_stage],
+                p,
                 buf,
             )
             # Hand off to the next stage around the ring.
@@ -152,4 +162,34 @@ def make_pipeline_pose_fn(
         # Tick t >= S-1 emits microbatch t-(S-1)'s poses.
         return poses[NUM_STAGES - 1 :]
 
-    return jax.jit(pipelined)
+    return pipelined
+
+
+def make_pipeline_train_fns(cfg: ModelConfig, mesh: Mesh, axis: str = "stage"):
+    """Pipeline-parallel TRAINING: loss + grads through the staged
+    schedule.
+
+    Differentiating the scan/ppermute program IS the GPipe backward:
+    jax linearizes each tick (stashing the microbatch activations the
+    way GPipe stashes per-microbatch forward state), runs the reverse
+    scan (the backward pipeline), and transposes each `ppermute` into
+    the reverse-ring hop — so cotangents flow pose-stage -> flow-stage
+    across devices, and each stage only ever evaluates its own
+    sub-network's VJP. Returns jitted:
+
+        loss_fn(params, microbatches, gt_vec) -> scalar
+        grad_fn(params, microbatches, gt_vec) -> (loss, grads)
+
+    gt_vec: (M, mb, 6) GT pose vectors (supervised regime — the
+    depth/photometric stages live outside this 2-stage pipeline).
+    """
+    assert mesh.shape[axis] == NUM_STAGES, mesh.shape
+    pipelined = _make_pipelined(cfg, mesh, axis)
+
+    def loss(params, microbatches, gt_vec):
+        poses = pipelined(params, microbatches)
+        t_err = jnp.sum((poses[..., :3] - gt_vec[..., :3]) ** 2, axis=-1)
+        r_err = jnp.sum((poses[..., 3:] - gt_vec[..., 3:]) ** 2, axis=-1)
+        return jnp.mean(t_err + 10.0 * r_err)
+
+    return jax.jit(loss), jax.jit(jax.value_and_grad(loss))
