@@ -33,8 +33,13 @@ _EPS = 1e-8
 def euler_to_mat(angles: jnp.ndarray) -> jnp.ndarray:
     """Euler angles ``[rx, ry, rz]`` (radians) -> rotation matrix (..., 3, 3).
 
-    Convention matches the SfMLearner family (`<ref>/utils.py` euler2mat):
-    ``R = Rz(rz) @ Ry(ry) @ Rx(rx)``.
+    Convention: ``R = Rz(rz) @ Ry(ry) @ Rx(rx)`` (extrinsic x-y-z).
+    NOTE: the SfMLearner family's `euler2mat(z, y, x)` composes
+    ``xmat @ ymat @ zmat`` — the TRANSPOSED order. This repo is
+    internally self-consistent (mat_to_pose_vec inverts this exact
+    composition and all pose round-trips are golden-tested vs scipy),
+    so nothing depends on the reference's order; re-verify only if
+    reference checkpoints/pose files are ever ingested directly.
     """
     rx, ry, rz = angles[..., 0], angles[..., 1], angles[..., 2]
     cx, sx = jnp.cos(rx), jnp.sin(rx)

@@ -31,6 +31,13 @@ def make_streaming_eval(model, params, mesh: Mesh, attention: str = "none"):
     shard0 = NamedSharding(mesh, P("data"))
     params = jax.device_put(params, rep)
 
+    # NOTE: this deliberately re-states the model-invocation convention
+    # of eval/runner.make_pose_apply_fn (sources[:, None], seg gated on
+    # attention, poses[:, 0]) INSIDE one jitted program so the
+    # associative scan fuses with the forward — do not split it into
+    # the runner closure + a second jit. tests/test_streaming.py pins
+    # bit-equality against the single-device runner path, so drift
+    # between the two conventions fails CI.
     @jax.jit
     def run(targets, sources, seg):
         out = model.apply(

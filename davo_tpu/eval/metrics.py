@@ -106,17 +106,58 @@ def ate_rmse(
     return float(np.sqrt((err**2).sum(-1).mean()))
 
 
+def compute_ate_ref(gt: np.ndarray, pred: np.ndarray) -> float:
+    """The SfMLearner-lineage `compute_ate` EXACTLY (reference
+    `kitti_eval/pose_evaluation_utils.py` semantics): align the FIRST
+    frame by offset, least-squares scale on the offset trajectory,
+    then sqrt(SUM of squared errors) / N — NOT an RMSE (it is ~1/√N
+    of one). Published SfMLearner/DAVO ATE tables use this form;
+    `ate_rmse` above is the statistically conventional variant, kept
+    because recorded r1/r2 artifacts pin its values.
+    """
+    gt_p = gt[:, :3, 3] if gt.ndim == 3 else np.asarray(gt, float)
+    pr_p = pred[:, :3, 3] if pred.ndim == 3 else np.asarray(pred, float)
+    pr_p = pr_p + (gt_p[0] - pr_p[0])[None, :]
+    denom = float((pr_p * pr_p).sum())
+    scale = float((gt_p * pr_p).sum()) / denom if denom > 1e-12 else 1.0
+    err = pr_p * scale - gt_p
+    return float(np.sqrt((err**2).sum()) / len(gt_p))
+
+
 def snippet_ate(
     gt: np.ndarray, pred: np.ndarray, snippet_len: int = 5
 ) -> tuple[float, float]:
     """Mean and std of per-snippet scale-aligned ATE over a sequence.
 
     Reference: `<ref>/kitti_eval/eval_pose.py` — each `snippet_len`-frame
-    window aligned independently (SURVEY.md R12).
+    window aligned independently (SURVEY.md R12). Uses `ate_rmse`
+    (mean-centered true RMSE); for numbers comparable to published
+    SfMLearner/DAVO tables use `snippet_ate_ref`.
+
+    Sequences shorter than `snippet_len` have no snippets: returns
+    (nan, nan) explicitly (no empty-mean warning).
     """
     ates = []
     for i in range(0, len(gt) - snippet_len + 1):
         ates.append(
             ate_rmse(gt[i : i + snippet_len], pred[i : i + snippet_len])
         )
+    if not ates:
+        return float("nan"), float("nan")
+    return float(np.mean(ates)), float(np.std(ates))
+
+
+def snippet_ate_ref(
+    gt: np.ndarray, pred: np.ndarray, snippet_len: int = 5
+) -> tuple[float, float]:
+    """`snippet_ate` with the reference-exact `compute_ate_ref` per
+    snippet — the number to quote against published DAVO/SfMLearner
+    ATE tables."""
+    ates = []
+    for i in range(0, len(gt) - snippet_len + 1):
+        ates.append(
+            compute_ate_ref(gt[i : i + snippet_len], pred[i : i + snippet_len])
+        )
+    if not ates:
+        return float("nan"), float("nan")
     return float(np.mean(ates)), float(np.std(ates))

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from davo_tpu.core import geometry as geo
-from davo_tpu.eval.metrics import ate_rmse, kitti_seg_errors, snippet_ate
+from davo_tpu.eval.metrics import (
+    ate_rmse,
+    kitti_seg_errors,
+    snippet_ate,
+    snippet_ate_ref,
+)
 
 
 def predict_sequence(
@@ -36,13 +41,40 @@ def predict_sequence(
     increments rel[k] = T_{cam_k <- cam_{k+1}}^(-1)-style transforms
     such that poses[k+1] = poses[k] @ rel[k].
     """
+    rel_vecs = [
+        np.asarray(apply_fn(jnp.asarray(tgt), jnp.asarray(src), sg))[
+            : end - start
+        ]
+        for start, end, tgt, src, sg in iter_pair_batches(
+            frames, seg, batch_size
+        )
+    ]
+    vecs = np.concatenate(rel_vecs, 0)  # (N-1, 6)
+
+    # vec maps target(k+1) -> source(k): that IS the increment matrix.
+    rels = np.asarray(geo.pose_vec_to_mat(jnp.asarray(vecs)))
+    return rels
+
+
+def iter_pair_batches(
+    frames: np.ndarray,
+    seg: np.ndarray | None,
+    batch_size: int,
+    start0: int = 0,
+):
+    """Yield (start, end, target, source, seg) fixed-shape pair batches.
+
+    The single batching/padding contract for streaming eval — shared by
+    `predict_sequence` and `resumable_predict_sequence` so the padding
+    and seg-indexing conventions (targets = frames[1:], seg aligned to
+    the target frame, ragged tail padded by repetition) cannot drift
+    between the plain and crash-resumable paths.
+    """
     n_pairs = len(frames) - 1
     targets = frames[1:]
     sources = frames[:-1]
     segs = seg[1:] if seg is not None else None
-
-    rel_vecs = []
-    for start in range(0, n_pairs, batch_size):
+    for start in range(start0, n_pairs, batch_size):
         end = min(start + batch_size, n_pairs)
         pad = batch_size - (end - start)
         tgt = targets[start:end]
@@ -53,13 +85,7 @@ def predict_sequence(
             src = np.concatenate([src, np.repeat(src[-1:], pad, 0)], 0)
             if sg is not None:
                 sg = np.concatenate([sg, np.repeat(sg[-1:], pad, 0)], 0)
-        vec = apply_fn(jnp.asarray(tgt), jnp.asarray(src), sg)
-        rel_vecs.append(np.asarray(vec)[: end - start])
-    vecs = np.concatenate(rel_vecs, 0)  # (N-1, 6)
-
-    # vec maps target(k+1) -> source(k): that IS the increment matrix.
-    rels = np.asarray(geo.pose_vec_to_mat(jnp.asarray(vecs)))
-    return rels
+        yield start, end, tgt, src, sg
 
 
 def assemble_trajectory(rels: np.ndarray) -> np.ndarray:
@@ -76,11 +102,16 @@ def evaluate_sequence(
     n = min(len(pred_poses), len(gt_poses))
     pred, gt = pred_poses[:n], gt_poses[:n]
     mean_ate, std_ate = snippet_ate(gt, pred, snippet_len)
+    # Reference-exact variant (sqrt(sum)/N, first-frame alignment) —
+    # THE number comparable to published SfMLearner/DAVO ATE tables.
+    ref_mean, ref_std = snippet_ate_ref(gt, pred, snippet_len)
     seg_err = kitti_seg_errors(gt, pred)
     return {
         "ate_full": ate_rmse(gt, pred),
         "snippet_ate_mean": mean_ate,
         "snippet_ate_std": std_ate,
+        "snippet_ate_ref_mean": ref_mean,
+        "snippet_ate_ref_std": ref_std,
         "t_err_pct": seg_err["t_err_pct"],
         "r_err_deg_per_100m": seg_err["r_err_deg_per_100m"],
         "n_frames": n,

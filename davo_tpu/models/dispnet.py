@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig
-from davo_tpu.models.common import ConvBlock, dtype_of
+from davo_tpu.models.common import ConvBlock, dtype_of, upsample2
 
 
 def _resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
@@ -25,12 +25,10 @@ def _resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
     encoder produces at 416-wide inputs: every decoder target is
     ceil(2x_source/2), so 2x-then-crop reaches it exactly.
     """
-    B, H, W, C = x.shape
+    H, W = x.shape[1], x.shape[2]
     h, w = hw
     assert h <= 2 * H and w <= 2 * W, (x.shape, hw)
-    up = x[:, :, None, :, None, :]
-    up = jnp.broadcast_to(up, (B, H, 2, W, 2, C)).reshape(B, 2 * H, 2 * W, C)
-    return up[:, :h, :w]
+    return upsample2(x)[:, :h, :w]
 
 DISP_SCALING = 10.0
 MIN_DISP = 0.01

@@ -104,6 +104,59 @@ class TestATE:
         assert mean2 > 0.01
 
 
+class TestATERef:
+    """`compute_ate_ref` pins the SfMLearner-lineage formula exactly:
+    first-frame offset alignment, lsq scale, sqrt(SUM err^2)/N."""
+
+    def test_offset_and_scale_invariance(self):
+        from davo_tpu.eval.metrics import compute_ate_ref
+
+        gt = straight_line_traj(5, 1.0)
+        pred = gt.copy()
+        pred[:, :3, 3] = pred[:, :3, 3] * 3.0 + np.array([4.0, -2.0, 7.0])
+        assert compute_ate_ref(gt, pred) == pytest.approx(0.0, abs=1e-9)
+
+    def test_formula_hand_computed(self):
+        from davo_tpu.eval.metrics import compute_ate_ref
+
+        gt_p = np.array(
+            [[0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 0, 3]], float
+        )
+        pred_p = gt_p.copy()
+        pred_p[2, 0] += 0.4  # one 0.4 m x-error
+        # Reference formula by hand: offset 0; scale fit on the
+        # perturbed trajectory; err = pred*s - gt; sqrt(sum)/4.
+        s = float((gt_p * pred_p).sum()) / float((pred_p * pred_p).sum())
+        err = pred_p * s - gt_p
+        expect = np.sqrt((err**2).sum()) / 4.0
+        assert compute_ate_ref(gt_p, pred_p) == pytest.approx(
+            expect, rel=1e-12
+        )
+        # NOT an RMSE: sqrt(sum)/N == rmse/sqrt(N).
+        rmse_form = np.sqrt((err**2).sum(-1).mean())
+        assert compute_ate_ref(gt_p, pred_p) == pytest.approx(
+            rmse_form / np.sqrt(4), rel=1e-12
+        )
+
+    def test_snippet_variants_and_short_sequence(self):
+        from davo_tpu.eval.metrics import snippet_ate_ref
+
+        gt = straight_line_traj(20, 1.0)
+        pred = gt.copy()
+        pred[:, 0, 3] += np.sin(np.arange(20))
+        m_ref, _ = snippet_ate_ref(gt, pred)
+        m_rmse, _ = snippet_ate(gt, pred)
+        assert 0 < m_ref < m_rmse  # ~1/sqrt(5) of the RMSE form
+        # Degenerate: shorter than a snippet -> explicit NaN, no warning.
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            m, s = snippet_ate(gt[:3], pred[:3])
+            m2, s2 = snippet_ate_ref(gt[:3], pred[:3])
+        assert np.isnan([m, s, m2, s2]).all()
+
+
 class TestQuaternionsAndTUM:
     def test_quat_matches_scipy(self, rng):
         import jax.numpy as jnp

@@ -9,7 +9,6 @@ from davo_tpu.config import Config, ModelConfig, TrainConfig
 from davo_tpu.data.synthetic import SyntheticSequence
 from davo_tpu.eval.resumable import EvalCursor, resumable_predict_sequence
 from davo_tpu.eval.runner import predict_sequence
-from davo_tpu.core import geometry as geo
 from davo_tpu.train.loop import create_state
 
 TINY = ModelConfig(
@@ -42,8 +41,6 @@ def model_and_frames():
 class TestResumableEval:
     def test_crash_and_resume_identical(self, model_and_frames, tmp_path):
         apply_fn, frames = model_and_frames
-        # Uninterrupted reference (via the plain runner).
-        import jax.numpy as jnp
 
         rels_ref = predict_sequence(apply_fn, frames, batch_size=4)
 
@@ -58,17 +55,56 @@ class TestResumableEval:
 
         # "Relaunch": fresh cursor object from disk, finish the run.
         cursor2 = EvalCursor(cursor_path)
-        vecs = resumable_predict_sequence(
+        rels = resumable_predict_sequence(
             apply_fn, frames, cursor2, "seq0", batch_size=4
         )
         assert cursor2.done("seq0", len(frames) - 1)
-        rels = np.asarray(geo.pose_vec_to_mat(jnp.asarray(vecs)))
+        assert rels.shape == rels_ref.shape  # drop-in: (N-1, 4, 4)
         np.testing.assert_allclose(rels, rels_ref, atol=1e-6)
 
     def test_fresh_run_no_cursor_file(self, model_and_frames, tmp_path):
         apply_fn, frames = model_and_frames
         cursor = EvalCursor(str(tmp_path / "c2.json"))
-        vecs = resumable_predict_sequence(
+        rels = resumable_predict_sequence(
             apply_fn, frames, cursor, "s", batch_size=8
         )
-        assert len(vecs) == len(frames) - 1
+        assert rels.shape == (len(frames) - 1, 4, 4)
+
+    def test_stale_cursor_reset(self, model_and_frames, tmp_path):
+        """A cursor from a different model or sequence length must be
+        discarded, not resumed (review finding: stale rel_vecs were
+        silently spliced into the trajectory)."""
+        from davo_tpu.eval.resumable import params_fingerprint
+
+        apply_fn, frames = model_and_frames
+        path = str(tmp_path / "c3.json")
+        cursor = EvalCursor(path)
+        resumable_predict_sequence(
+            apply_fn, frames, cursor, "s", batch_size=4, fingerprint="modelA"
+        )
+        n_done = cursor.next_pair("s")
+        assert n_done == len(frames) - 1
+
+        # Same seq, different model stamp -> entry reset, full re-run.
+        cursor2 = EvalCursor(path)
+        rels = resumable_predict_sequence(
+            apply_fn, frames, cursor2, "s", batch_size=4, fingerprint="modelB"
+        )
+        assert rels.shape == (len(frames) - 1, 4, 4)
+        assert len(cursor2.rels("s")) == len(frames) - 1  # no stale splice
+
+        # Shorter sequence under the same id -> reset too (length is
+        # part of the fingerprint); previously this returned MORE rels
+        # than the sequence has pairs.
+        cursor3 = EvalCursor(path)
+        rels_short = resumable_predict_sequence(
+            apply_fn, frames[:9], cursor3, "s", batch_size=4,
+            fingerprint="modelB",
+        )
+        assert rels_short.shape == (8, 4, 4)
+
+        # params_fingerprint: deterministic, changes with values.
+        p = {"a": np.ones((3, 3), np.float32)}
+        q = {"a": np.full((3, 3), 2.0, np.float32)}
+        assert params_fingerprint(p) == params_fingerprint(p)
+        assert params_fingerprint(p) != params_fingerprint(q)
