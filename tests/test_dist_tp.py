@@ -116,3 +116,24 @@ class TestExpertParallelAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5
         )
+
+    def test_non_divisible_resolution(self, rng):
+        """hw that does not divide the seg resolution takes the resize
+        fallback in BOTH paths (review finding: EP returned the wrong
+        shape here)."""
+        from davo_tpu.models.attention import (
+            region_weight_map,
+            region_weight_map_ep,
+            seg_to_onehot,
+        )
+
+        mesh = make_mesh(data=1, model=8)
+        seg = jnp.asarray(rng.integers(0, 19, (2, 30, 30)), jnp.int32)
+        oh = seg_to_onehot(seg, 19)
+        w = jnp.asarray(rng.uniform(0.5, 1.5, (2, 19)), jnp.float32)
+        want = region_weight_map(w, oh, (4, 4))
+        got = region_weight_map_ep(w, oh, (4, 4), mesh)
+        assert got.shape == want.shape == (2, 4, 4, 1)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )

@@ -34,11 +34,23 @@ class TestKittiSegErrors:
         assert len(out["segments"]) > 0
 
     def test_known_scale_drift(self):
-        """Pred travels 1% further per meter -> t_err == 1%."""
+        """Pred travels 1% further per meter -> t_err ~= 1%.
+
+        Official-devkit tie semantics: at 1 m/frame every segment end
+        lands STRICTLY past the target, so a nominal-L segment actually
+        spans L+1 m and t_err = 1% * (L+1)/L per length — computable
+        exactly."""
         gt = straight_line_traj(1200, 1.0)
         pred = straight_line_traj(1200, 1.01)
         out = kitti_seg_errors(gt, pred)
-        assert out["t_err_pct"] == pytest.approx(1.0, rel=1e-6)
+        # Per-segment analytic value: 1% * (L+1)/L; average over the
+        # actual segment set (long lengths fit fewer start frames).
+        expect = 1.0 * np.mean([(l + 1) / l for _, l, _, _ in out["segments"]])
+        assert out["t_err_pct"] == pytest.approx(expect, rel=1e-6)
+        assert all(
+            t * 100 == pytest.approx(1.0 * (l + 1) / l, rel=1e-6)
+            for _, l, t, _ in out["segments"]
+        )
         assert out["r_err_deg_per_100m"] == pytest.approx(0.0, abs=1e-9)
 
     def test_known_rotation_drift(self):
@@ -62,9 +74,11 @@ class TestKittiSegErrors:
             pos = pos + dirv
             yaw += r
         out = kitti_seg_errors(gt, pred)
-        assert out["r_err_deg_per_100m"] == pytest.approx(
-            np.degrees(r) * 100.0, rel=1e-3
+        # Tie overshoot (see scale-drift test): actual span L+1 frames.
+        expect = np.degrees(r) * 100.0 * np.mean(
+            [(l + 1) / l for _, l, _, _ in out["segments"]]
         )
+        assert out["r_err_deg_per_100m"] == pytest.approx(expect, rel=1e-3)
 
     def test_short_sequence_nan(self):
         gt = straight_line_traj(50, 1.0)  # < 100 m of path

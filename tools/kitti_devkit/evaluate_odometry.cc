@@ -85,11 +85,12 @@ std::vector<double> trajectory_distances(const std::vector<Mat4>& poses) {
   return dist;
 }
 
-// First frame index j > first with dist[j] >= dist[first] + len, or -1.
+// First frame index j with dist[j] STRICTLY > dist[first] + len, or
+// -1 (official devkit lastFrameFromSegmentLength tie semantics).
 int frame_at_distance(const std::vector<double>& dist, int first, double len) {
   double target = dist[first] + len;
   for (size_t j = first; j < dist.size(); ++j)
-    if (dist[j] >= target) return static_cast<int>(j);
+    if (dist[j] > target) return static_cast<int>(j);
   return -1;
 }
 

@@ -60,6 +60,10 @@ bool decode_item(const std::string& dir, const std::string& name, int H,
 
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
+  // Constructed BEFORE setjmp: a longjmp back to the setjmp point then
+  // returns through normal scope exit, so the buffer is destroyed (a
+  // vector constructed AFTER setjmp would be skipped — UB + leak).
+  std::vector<JSAMPLE> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_exit;
   if (setjmp(jerr.setjmp_buffer)) {
@@ -87,7 +91,7 @@ bool decode_item(const std::string& dir, const std::string& name, int H,
     return false;
   }
 
-  std::vector<JSAMPLE> row(3 * W * 3);
+  row.resize(3 * W * 3);
   JSAMPROW rowp = row.data();
   constexpr float kInv255 = 1.0f / 255.0f;
   const int64_t frame = static_cast<int64_t>(H) * W * 3;
