@@ -228,7 +228,7 @@ def cmd_infer(args) -> int:
     )
 
     cfg = _apply_sets(presets.get(args.version), args.set)
-    frames, seg, _, _ = _load_sequence(
+    frames, seg, gt_poses, _ = _load_sequence(
         args.data, args.seq, cfg, cfg.model.attention == "flow_seg"
     )
     # Build state template from a dummy batch and restore.
@@ -259,6 +259,13 @@ def cmd_infer(args) -> int:
         from davo_tpu.eval.tum import write_poses_tum
 
         write_poses_tum(args.tum, traj)
+    if args.gt_out:
+        # GT trajectory alongside (synthetic worlds / KITTI poses) so
+        # `eval --gt ...` needs no separate dataset plumbing.
+        if gt_poses is None:
+            print("no GT poses available for --gt-out", file=sys.stderr)
+            return 1
+        write_poses_kitti(args.gt_out, np.asarray(gt_poses))
     print(f"wrote {len(traj)} poses to {args.out}")
     return 0
 
@@ -503,6 +510,10 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--ckpt", default=None)
     i.add_argument("--out", required=True)
     i.add_argument("--tum", default=None, help="also write TUM-format file")
+    i.add_argument(
+        "--gt-out", default=None,
+        help="also write the sequence's GT trajectory (KITTI format)",
+    )
     i.add_argument("--batch-size", type=int, default=32)
     i.add_argument("--set", action="append")
     i.set_defaults(fn=cmd_infer)
