@@ -82,6 +82,11 @@ def cmd_train(args) -> int:
             cfg, train=dataclasses.replace(cfg.train, max_steps=args.steps)
         )
 
+    # Zoom/crop augmentation makes GT translation magnitude
+    # unobservable (no K input to the net) — color-only when the run
+    # is supervised (data/snippets.py _scale_crop note; train_e2e.py).
+    augment = "color" if cfg.train.pose_supervision_weight > 0 else True
+
     if args.data == "synthetic":
         seq = SyntheticSequence(
             n_frames=32,
@@ -94,12 +99,7 @@ def cmd_train(args) -> int:
             batch_size=cfg.train.batch_size,
             with_seg=cfg.model.attention == "flow_seg",
             with_gt=cfg.train.pose_supervision_weight > 0,
-            # Zoom/crop makes GT translation magnitude unobservable
-            # (no K input to the net) — color-only when supervised
-            # (see data/snippets.py _scale_crop note; train_e2e.py).
-            augment=(
-                "color" if cfg.train.pose_supervision_weight > 0 else True
-            ),
+            augment=augment,
             seed=cfg.train.seed,
         )
     elif os.path.exists(os.path.join(args.data, "train.txt")):
@@ -146,11 +146,7 @@ def cmd_train(args) -> int:
             ko, cfg.model.img_height, cfg.model.img_width, native
         )
         ds = SnippetDataset(
-            ad, batch_size=cfg.train.batch_size,
-            # Same supervised/zoom interaction as the synthetic branch.
-            augment=(
-                "color" if cfg.train.pose_supervision_weight > 0 else True
-            ),
+            ad, batch_size=cfg.train.batch_size, augment=augment,
             with_gt=cfg.train.pose_supervision_weight > 0,
         )
 

@@ -187,9 +187,9 @@ def make_pipeline_train_fns(cfg: ModelConfig, mesh: Mesh, axis: str = "stage"):
     pipelined = _make_pipelined(cfg, mesh, axis)
 
     def loss(params, microbatches, gt_vec):
+        from davo_tpu.train.losses import pose_vec_l2
+
         poses = pipelined(params, microbatches)
-        t_err = jnp.sum((poses[..., :3] - gt_vec[..., :3]) ** 2, axis=-1)
-        r_err = jnp.sum((poses[..., 3:] - gt_vec[..., 3:]) ** 2, axis=-1)
-        return jnp.mean(t_err + 10.0 * r_err)
+        return pose_vec_l2(poses, gt_vec)
 
     return jax.jit(loss), jax.jit(jax.value_and_grad(loss))

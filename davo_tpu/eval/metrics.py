@@ -142,14 +142,7 @@ def snippet_ate(
     Sequences shorter than `snippet_len` have no snippets: returns
     (nan, nan) explicitly (no empty-mean warning).
     """
-    ates = []
-    for i in range(0, len(gt) - snippet_len + 1):
-        ates.append(
-            ate_rmse(gt[i : i + snippet_len], pred[i : i + snippet_len])
-        )
-    if not ates:
-        return float("nan"), float("nan")
-    return float(np.mean(ates)), float(np.std(ates))
+    return _snippet_stats(ate_rmse, gt, pred, snippet_len)
 
 
 def snippet_ate_ref(
@@ -158,11 +151,14 @@ def snippet_ate_ref(
     """`snippet_ate` with the reference-exact `compute_ate_ref` per
     snippet — the number to quote against published DAVO/SfMLearner
     ATE tables."""
-    ates = []
-    for i in range(0, len(gt) - snippet_len + 1):
-        ates.append(
-            compute_ate_ref(gt[i : i + snippet_len], pred[i : i + snippet_len])
-        )
-    if not ates:
+    return _snippet_stats(compute_ate_ref, gt, pred, snippet_len)
+
+
+def _snippet_stats(metric, gt, pred, snippet_len) -> tuple[float, float]:
+    vals = [
+        metric(gt[i : i + snippet_len], pred[i : i + snippet_len])
+        for i in range(0, len(gt) - snippet_len + 1)
+    ]
+    if not vals:
         return float("nan"), float("nan")
-    return float(np.mean(ates)), float(np.std(ates))
+    return float(np.mean(vals)), float(np.std(vals))

@@ -153,16 +153,21 @@ def smoothness_loss(disps: list[jnp.ndarray], target: jnp.ndarray) -> jnp.ndarra
     return total / len(disps)
 
 
+def pose_vec_l2(poses: jnp.ndarray, gt_vec: jnp.ndarray) -> jnp.ndarray:
+    """L2 between predicted and GT pose VECTORS ([t, r_euler]) with
+    rotation weighted up (radians are small vs meters). Shared by the
+    supervised loss and the pipeline-parallel train step."""
+    t_err = jnp.sum((poses[..., :3] - gt_vec[..., :3]) ** 2, axis=-1)
+    r_err = jnp.sum((poses[..., 3:] - gt_vec[..., 3:]) ** 2, axis=-1)
+    return jnp.mean(t_err + 10.0 * r_err)
+
+
 def pose_supervision_loss(poses: jnp.ndarray, gt_pose: jnp.ndarray) -> jnp.ndarray:
     """L2 between predicted pose vectors and GT warp transforms.
 
     poses: (B, S, 6) predicted [t, r_euler]; gt_pose: (B, S, 4, 4).
-    Rotation error weighted up (radians are small vs meters).
     """
-    gt_vec = geo.mat_to_pose_vec(gt_pose)
-    t_err = jnp.sum((poses[..., :3] - gt_vec[..., :3]) ** 2, axis=-1)
-    r_err = jnp.sum((poses[..., 3:] - gt_vec[..., 3:]) ** 2, axis=-1)
-    return jnp.mean(t_err + 10.0 * r_err)
+    return pose_vec_l2(poses, geo.mat_to_pose_vec(gt_pose))
 
 
 def flow_losses(
