@@ -12,7 +12,7 @@ Layer map (mirrors SURVEY.md §7.3):
   core/     SE(3)/SO(3) geometry, camera models, warping, SSIM, pyramids
   data/     KITTI readers, offline prep, synthetic sequences, prefetch
   models/   DispNet / PoseNet / FlowNet / AttentionNet (Flax linen)
-  kernels/  Pallas TPU kernels (fused conv blocks, region attention, costvol)
+  kernels/  Pallas TPU kernels (conv stacks, costvol, resize, sampler)
   train/    losses, train step, checkpointing, metrics
   ba/       sliding-window bundle adjustment (GN + Schur + PCG), pose graph
   dist/     device mesh, sharding rules, collectives, multihost bootstrap
