@@ -104,19 +104,23 @@ def cmd_train(args) -> int:
         )
     elif os.path.exists(os.path.join(args.data, "train.txt")):
         # Offline-prepared layout (data/prep.py; the reference's
-        # prepare_train_data output — concat triplets + *_cam.txt).
-        # No seg files in this layout, so flow_seg needs the online
-        # KITTI path instead.
+        # prepare_train_data output — concat triplets + *_cam.txt,
+        # plus *_seg.png label maps when the source tree had seg/).
         from davo_tpu.data.prep import PreparedSnippets
 
-        if cfg.model.attention == "flow_seg":
+        prepared = PreparedSnippets(args.data, seed=cfg.train.seed)
+        if cfg.model.attention == "flow_seg" and not prepared.has_seg:
             print(
-                "prepared layout has no seg maps; use --version flow "
-                "or train from a KITTI root", file=sys.stderr,
+                "prepared layout has no *_seg.png maps (re-run prep "
+                "with a seg/ dir in the source tree); use --version "
+                "flow or train from a KITTI root", file=sys.stderr,
             )
             return 1
         ds = None
-        if args.loader in ("auto", "native"):
+        if cfg.model.attention == "flow_seg":
+            # Seg maps currently flow through the python reader only.
+            ds = _PreparedWrapper(prepared, cfg.train.batch_size)
+        elif args.loader in ("auto", "native"):
             # C++ decode pool (tools/native_loader): overlaps JPEG
             # decode with the train step instead of serializing them.
             try:
@@ -134,7 +138,6 @@ def cmd_train(args) -> int:
                 print(f"native loader unavailable ({e}); python reader",
                       file=sys.stderr)
         if ds is None:
-            prepared = PreparedSnippets(args.data, seed=cfg.train.seed)
             ds = _PreparedWrapper(prepared, cfg.train.batch_size)
     else:
         from davo_tpu.data.kitti import TRAIN_SEQS, KittiOdometry

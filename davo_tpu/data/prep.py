@@ -41,6 +41,15 @@ def _write_snippet(args) -> str:
         os.path.join(out_dir, name + ".jpg"),
         cv2.cvtColor(concat, cv2.COLOR_RGB2BGR),
     )
+    if ko.seg_dir is not None:
+        # Reference parity (SURVEY.md R8): precomputed seg label maps
+        # ride with the prepared snippets so flow_seg trains from this
+        # layout. Target frame's labels only (the model consumes
+        # target seg); PNG — labels must survive losslessly.
+        cv2.imwrite(
+            os.path.join(out_dir, name + "_seg.png"),
+            ko.load_seg(t, height, width).astype(np.uint8),
+        )
     K = ko.scaled_intrinsics(height, width, native_hw)
     with open(os.path.join(out_dir, name + "_cam.txt"), "w") as f:
         f.write(",".join(str(v) for v in K.ravel()))
@@ -236,6 +245,10 @@ class PreparedSnippets:
         with open(os.path.join(data_dir, f"{split}.txt")) as f:
             self.names = [l.strip() for l in f if l.strip()]
         self.rng = np.random.default_rng(seed)
+        # Prepared sets are uniform: seg presence checked on one item.
+        self.has_seg = bool(self.names) and os.path.exists(
+            os.path.join(data_dir, self.names[0] + "_seg.png")
+        )
 
     def __len__(self) -> int:
         return len(self.names)
@@ -249,11 +262,18 @@ class PreparedSnippets:
         prev_f, tgt, nxt = img[:, :w], img[:, w : 2 * w], img[:, 2 * w :]
         with open(os.path.join(self.dir, name + "_cam.txt")) as f:
             K = np.fromstring(f.read(), sep=",").reshape(3, 3)
-        return {
+        out = {
             "target": tgt,
             "sources": np.stack([prev_f, nxt]),
             "K": K.astype(np.float32),
         }
+        if self.has_seg:
+            seg = cv2.imread(
+                os.path.join(self.dir, name + "_seg.png"),
+                cv2.IMREAD_GRAYSCALE,
+            )
+            out["seg"] = seg.astype(np.int32)
+        return out
 
     def batches(self, batch_size: int, steps: int | None = None):
         produced = 0

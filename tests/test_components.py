@@ -246,6 +246,32 @@ class TestCLIPreparedTraining:
         )
         assert r.returncode == 1 and "seg" in r.stderr
 
+        # With a seg/ dir in the source tree, prep writes *_seg.png and
+        # the FULL flow_seg model trains from the prepared layout
+        # (reference parity: SURVEY.md R8 precomputed-seg ingestion).
+        seg_dir = root / "sequences" / "00" / "seg"
+        seg_dir.mkdir()
+        for i in range(6):
+            cv2.imwrite(
+                str(seg_dir / f"{i:06d}.png"), seq.seg(i).astype(np.uint8)
+            )
+        out2 = tmp_path / "prepared_seg"
+        prepare_kitti_odometry(
+            str(root), str(out2), height=48, width=64,
+            seqs=("00",), num_workers=1, val_fraction=0.0,
+        )
+        r = subprocess.run(
+            [
+                _sys.executable, "-m", "davo_tpu.cli.main", "train",
+                "--version", "tiny", "--data", str(out2), "--steps", "2",
+                "--set", "train.batch_size=2",
+                "--set", "train.log_every=1",
+            ],
+            capture_output=True, text=True, env=CLI_ENV, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "step 2" in r.stdout
+
 
 class TestRecordedExperiments:
     """Regression gates on committed experiment artifacts.

@@ -97,13 +97,19 @@ class TestOfflinePrep:
         seq = SyntheticSequence(n_frames=6, height=48, width=64, seed=0)
         root = tmp_path / "kitti"
         img_dir = root / "sequences" / "00" / "image_2"
+        seg_dir = root / "sequences" / "00" / "seg"
         img_dir.mkdir(parents=True)
+        seg_dir.mkdir(parents=True)
         for i in range(6):
             cv2.imwrite(
                 str(img_dir / f"{i:06d}.png"),
                 cv2.cvtColor(
                     (seq.frame(i) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR
                 ),
+            )
+            cv2.imwrite(
+                str(seg_dir / f"{i:06d}.png"),
+                seq.seg(i).astype(np.uint8),
             )
         K = seq.K
         calib = " ".join(
@@ -122,10 +128,23 @@ class TestOfflinePrep:
 
         ds = PreparedSnippets(str(out), split="train")
         assert len(ds) == counts["train"]
+        assert ds.has_seg  # seg/ dir rode into the prepared layout
         batch = next(ds.batches(batch_size=min(2, len(ds)), steps=1))
         assert batch["target"].shape[1:] == (24, 32, 3)
         assert batch["sources"].shape[1:] == (2, 24, 32, 3)
         assert batch["K"].shape[1:] == (3, 3)
+        # Seg labels round-trip losslessly at the target frame: item
+        # names encode the frame index (<seq>_<t>), so compare against
+        # the source world's nearest-resized labels directly.
+        assert batch["seg"].shape[1:] == (24, 32)
+        name0 = sorted(ds.names)[0]
+        t0 = int(name0.split("_")[1])
+        item = ds.load(name0)
+        want = cv2.resize(
+            seq.seg(t0).astype(np.uint8), (32, 24),
+            interpolation=cv2.INTER_NEAREST,
+        )
+        np.testing.assert_array_equal(item["seg"], want.astype(np.int32))
 
     def test_raw_roundtrip(self, tmp_path):
         """KITTI *raw* layout (R11 kitti_raw_loader parity): drives +
