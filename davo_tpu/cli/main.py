@@ -117,10 +117,7 @@ def cmd_train(args) -> int:
             )
             return 1
         ds = None
-        if cfg.model.attention == "flow_seg":
-            # Seg maps currently flow through the python reader only.
-            ds = _PreparedWrapper(prepared, cfg.train.batch_size)
-        elif args.loader in ("auto", "native"):
+        if args.loader in ("auto", "native"):
             # C++ decode pool (tools/native_loader): overlaps JPEG
             # decode with the train step instead of serializing them.
             try:

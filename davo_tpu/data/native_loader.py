@@ -41,13 +41,14 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     fp = ctypes.POINTER(ctypes.c_float)
     lib.snl_create.restype = ctypes.c_void_p
+    ip = ctypes.POINTER(ctypes.c_int32)
     lib.snl_create.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,
     ]
     lib.snl_next.restype = ctypes.c_int
-    lib.snl_next.argtypes = [ctypes.c_void_p, fp, fp, fp]
+    lib.snl_next.argtypes = [ctypes.c_void_p, fp, fp, fp, ip]
     lib.snl_error.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.snl_destroy.argtypes = [ctypes.c_void_p]
     lib.snl_probe.restype = ctypes.c_int
@@ -110,10 +111,14 @@ class NativeSnippetLoader:
         ):
             raise ValueError(f"cannot probe {probe}")
         self.height, self.width = h.value, w.value
+        # Prepared sets are uniform: seg presence checked on one item.
+        self.has_seg = os.path.exists(
+            os.path.join(data_dir, self.names[0] + "_seg.png")
+        )
         blob = "\n".join(self.names).encode()
         self._h = lib.snl_create(
             data_dir.encode(), blob, batch_size, self.height, self.width,
-            threads, seed, int(shuffle), int(loop),
+            threads, seed, int(shuffle), int(loop), int(self.has_seg),
         )
         if not self._h:
             raise ValueError(
@@ -131,23 +136,31 @@ class NativeSnippetLoader:
 
     def batches(self, steps: int | None = None):
         fp = ctypes.POINTER(ctypes.c_float)
+        ip = ctypes.POINTER(ctypes.c_int32)
         B, H, W = self.batch, self.height, self.width
         produced = 0
         while steps is None or produced < steps:
             target = np.empty((B, H, W, 3), np.float32)
             sources = np.empty((B, 2, H, W, 3), np.float32)
             K = np.empty((B, 3, 3), np.float32)
+            seg = (
+                np.empty((B, H, W), np.int32) if self.has_seg else None
+            )
             rc = self._lib.snl_next(
                 self._h,
                 target.ctypes.data_as(fp),
                 sources.ctypes.data_as(fp),
                 K.ctypes.data_as(fp),
+                seg.ctypes.data_as(ip) if seg is not None else None,
             )
             if rc == 0:
                 return
             if rc < 0:
                 raise RuntimeError(f"native loader: {self._error()}")
-            yield {"target": target, "sources": sources, "K": K}
+            out = {"target": target, "sources": sources, "K": K}
+            if seg is not None:
+                out["seg"] = seg
+            yield out
             produced += 1
 
     def close(self) -> None:

@@ -100,6 +100,35 @@ def test_looping_stream(prepared_dir):
     native.close()
 
 
+def test_seg_maps(prepared_dir, tmp_path):
+    """*_seg.png label maps decode natively and match the python
+    reader exactly (labels are lossless)."""
+    import shutil
+
+    import cv2
+
+    seq = SyntheticSequence(n_frames=N_ITEMS + 2, height=H, width=W, seed=3)
+    d = tmp_path / "with_seg"
+    shutil.copytree(prepared_dir, d)
+    for t in range(1, N_ITEMS + 1):
+        cv2.imwrite(
+            str(d / f"00_{t:06d}_seg.png"), seq.seg(t).astype(np.uint8)
+        )
+    native = NativeSnippetLoader(
+        str(d), batch_size=4, shuffle=False, loop=False, threads=3
+    )
+    assert native.has_seg
+    py = PreparedSnippets(str(d))
+    assert py.has_seg
+    batch = next(native.batches())
+    assert batch["seg"].shape == (4, H, W)
+    assert batch["seg"].dtype == np.int32
+    for k in range(4):
+        item = py.load(py.names[k])
+        np.testing.assert_array_equal(batch["seg"][k], item["seg"])
+    native.close()
+
+
 def test_shape_mismatch_error(prepared_dir, tmp_path):
     """A corrupt-size item surfaces as a RuntimeError, not a hang."""
     import shutil

@@ -9,17 +9,20 @@
 // Layout per item `<name>`:
 //   <dir>/<name>.jpg      H x 3W RGB JPEG: [prev | target | next]
 //   <dir>/<name>_cam.txt  9 comma-separated intrinsics (row-major K)
+//   <dir>/<name>_seg.png  optional H x W 8-bit label map (target frame)
 //
-// Batch output (all float32, RGB in [0,1]):
+// Batch output (float32 RGB in [0,1]; seg int32 labels):
 //   target  (B, H, W, 3)
 //   sources (B, 2, H, W, 3)   [prev, next]
 //   K       (B, 3, 3)
+//   seg     (B, H, W)         when created with with_seg
 //
-// Build: make -C tools/native_loader   (links libjpeg + pthread)
+// Build: make -C tools/native_loader  (links libjpeg + libpng + pthread)
 
 #include <cstdio>  // jpeglib.h needs FILE declared before inclusion
 
 #include <jpeglib.h>
+#include <png.h>
 
 #include <atomic>
 #include <condition_variable>
@@ -44,6 +47,52 @@ struct JpegErrorMgr {
 void jpeg_error_exit(j_common_ptr cinfo) {
   auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode <name>_seg.png (8-bit gray H x W) into int32 labels.
+bool decode_seg(const std::string& path, int H, int W, int32_t* out,
+                std::string* error) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) {
+    *error = "open failed: " + path;
+    return false;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING,
+                                           nullptr, nullptr, nullptr);
+  png_infop info = png ? png_create_info_struct(png) : nullptr;
+  // Row pointers allocated BEFORE setjmp (longjmp-safe, like the jpeg
+  // path): destroyed on normal scope exit after the error return.
+  std::vector<png_bytep> rows;
+  std::vector<png_byte> buf;
+  if (!png || !info || setjmp(png_jmpbuf(png))) {
+    if (png) png_destroy_read_struct(&png, info ? &info : nullptr, nullptr);
+    fclose(f);
+    *error = "png decode failed: " + path;
+    return false;
+  }
+  png_init_io(png, f);
+  png_read_info(png, info);
+  const int h = png_get_image_height(png, info);
+  const int w = png_get_image_width(png, info);
+  const int depth = png_get_bit_depth(png, info);
+  const int ctype = png_get_color_type(png, info);
+  if (h != H || w != W || depth != 8 || ctype != PNG_COLOR_TYPE_GRAY) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    fclose(f);
+    char b[96];
+    snprintf(b, sizeof(b), " (%dx%d depth=%d ctype=%d, want %dx%d gray8)",
+             h, w, depth, ctype, H, W);
+    *error = "seg shape mismatch: " + path + b;
+    return false;
+  }
+  buf.resize(static_cast<size_t>(H) * W);
+  rows.resize(H);
+  for (int r = 0; r < H; ++r) rows[r] = buf.data() + static_cast<size_t>(r) * W;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  fclose(f);
+  for (size_t i = 0; i < buf.size(); ++i) out[i] = buf[i];
+  return true;
 }
 
 // Decode one triplet JPEG + cam file directly into the batch slot.
@@ -140,6 +189,7 @@ bool decode_item(const std::string& dir, const std::string& name, int H,
 
 struct BatchBuffer {
   std::vector<float> target, sources, K;
+  std::vector<int32_t> seg;
   int filled = 0;           // decoded items in this buffer
   int assigned = 0;         // items handed to workers
   enum State { FREE, FILLING, READY } state = FREE;
@@ -150,7 +200,7 @@ struct Loader {
   std::string dir;
   std::vector<std::string> names;
   int batch, H, W;
-  bool shuffle, loop;
+  bool shuffle, loop, with_seg = false;
   std::mt19937_64 rng;
 
   std::vector<std::thread> workers;
@@ -225,6 +275,11 @@ struct Loader {
           dir, name, H, W, buf->target.data() + slot * frame,
           buf->sources.data() + slot * 2 * frame, buf->K.data() + slot * 9,
           &err);
+      if (ok && with_seg) {
+        ok = decode_seg(dir + "/" + name + "_seg.png", H, W,
+                        buf->seg.data() + static_cast<int64_t>(slot) * H * W,
+                        &err);
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
         if (!ok && error.empty()) error = err;
@@ -238,7 +293,7 @@ struct Loader {
   }
 
   // 1 = batch copied out, 0 = end of data, -1 = error.
-  int next(float* target, float* sources, float* K) {
+  int next(float* target, float* sources, float* K, int32_t* seg) {
     std::unique_lock<std::mutex> lk(mu);
     BatchBuffer* buf = nullptr;
     for (;;) {
@@ -259,6 +314,9 @@ struct Loader {
     memcpy(target, buf->target.data(), sizeof(float) * batch * frame);
     memcpy(sources, buf->sources.data(), sizeof(float) * batch * 2 * frame);
     memcpy(K, buf->K.data(), sizeof(float) * batch * 9);
+    if (with_seg && seg)
+      memcpy(seg, buf->seg.data(),
+             sizeof(int32_t) * static_cast<int64_t>(batch) * H * W);
     lk.lock();
     buf->state = BatchBuffer::FREE;
     ++batches_consumed;
@@ -274,7 +332,8 @@ extern "C" {
 // names_blob: '\n'-joined item names.
 void* snl_create(const char* dir, const char* names_blob, int batch,
                  int height, int width, int n_threads,
-                 unsigned long long seed, int shuffle, int loop) {
+                 unsigned long long seed, int shuffle, int loop,
+                 int with_seg) {
   auto* L = new Loader;
   L->dir = dir;
   const char* p = names_blob;
@@ -289,6 +348,7 @@ void* snl_create(const char* dir, const char* names_blob, int batch,
   L->W = width;
   L->shuffle = shuffle != 0;
   L->loop = loop != 0;
+  L->with_seg = with_seg != 0;
   L->rng.seed(seed);
   if (L->names.empty() || static_cast<int>(L->names.size()) < batch) {
     delete L;
@@ -299,6 +359,8 @@ void* snl_create(const char* dir, const char* names_blob, int batch,
     b.target.resize(batch * frame);
     b.sources.resize(batch * 2 * frame);
     b.K.resize(batch * 9);
+    if (L->with_seg)
+      b.seg.resize(static_cast<int64_t>(batch) * height * width);
   }
   L->new_epoch();
   if (n_threads < 1) n_threads = 1;
@@ -307,8 +369,9 @@ void* snl_create(const char* dir, const char* names_blob, int batch,
   return L;
 }
 
-int snl_next(void* h, float* target, float* sources, float* K) {
-  return static_cast<Loader*>(h)->next(target, sources, K);
+int snl_next(void* h, float* target, float* sources, float* K,
+             int32_t* seg) {
+  return static_cast<Loader*>(h)->next(target, sources, K, seg);
 }
 
 // Copies the error message (empty string if none) into out.
