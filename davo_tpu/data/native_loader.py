@@ -45,10 +45,10 @@ def _load():
     lib.snl_create.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_ulonglong, ctypes.c_int,
-        ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.snl_next.restype = ctypes.c_int
-    lib.snl_next.argtypes = [ctypes.c_void_p, fp, fp, fp, ip]
+    lib.snl_next.argtypes = [ctypes.c_void_p, fp, fp, fp, ip, fp]
     lib.snl_error.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     lib.snl_destroy.argtypes = [ctypes.c_void_p]
     lib.snl_probe.restype = ctypes.c_int
@@ -115,10 +115,14 @@ class NativeSnippetLoader:
         self.has_seg = os.path.exists(
             os.path.join(data_dir, self.names[0] + "_seg.png")
         )
+        self.has_gt = os.path.exists(
+            os.path.join(data_dir, self.names[0] + "_pose.txt")
+        )
         blob = "\n".join(self.names).encode()
         self._h = lib.snl_create(
             data_dir.encode(), blob, batch_size, self.height, self.width,
             threads, seed, int(shuffle), int(loop), int(self.has_seg),
+            int(self.has_gt),
         )
         if not self._h:
             raise ValueError(
@@ -146,12 +150,16 @@ class NativeSnippetLoader:
             seg = (
                 np.empty((B, H, W), np.int32) if self.has_seg else None
             )
+            gt = (
+                np.empty((B, 2, 4, 4), np.float32) if self.has_gt else None
+            )
             rc = self._lib.snl_next(
                 self._h,
                 target.ctypes.data_as(fp),
                 sources.ctypes.data_as(fp),
                 K.ctypes.data_as(fp),
                 seg.ctypes.data_as(ip) if seg is not None else None,
+                gt.ctypes.data_as(fp) if gt is not None else None,
             )
             if rc == 0:
                 return
@@ -160,6 +168,8 @@ class NativeSnippetLoader:
             out = {"target": target, "sources": sources, "K": K}
             if seg is not None:
                 out["seg"] = seg
+            if gt is not None:
+                out["gt_pose"] = gt
             yield out
             produced += 1
 

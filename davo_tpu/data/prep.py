@@ -50,6 +50,17 @@ def _write_snippet(args) -> str:
             os.path.join(out_dir, name + "_seg.png"),
             ko.load_seg(t, height, width).astype(np.uint8),
         )
+    if getattr(ko, "gt_poses", None) is not None:
+        # GT warp transforms for the supervised tier: one 4x4 per
+        # source, mapping TARGET-cam points to SOURCE-cam points
+        # (model convention; see snippets.KittiAdapter.gt_rel).
+        P = ko.gt_poses
+        past = np.linalg.inv(P[t - 1]) @ P[t]
+        futr = np.linalg.inv(P[t + 1]) @ P[t]
+        with open(os.path.join(out_dir, name + "_pose.txt"), "w") as f:
+            f.write(",".join(
+                str(v) for v in np.stack([past, futr]).ravel()
+            ))
     K = ko.scaled_intrinsics(height, width, native_hw)
     with open(os.path.join(out_dir, name + "_cam.txt"), "w") as f:
         f.write(",".join(str(v) for v in K.ravel()))
@@ -245,9 +256,12 @@ class PreparedSnippets:
         with open(os.path.join(data_dir, f"{split}.txt")) as f:
             self.names = [l.strip() for l in f if l.strip()]
         self.rng = np.random.default_rng(seed)
-        # Prepared sets are uniform: seg presence checked on one item.
+        # Prepared sets are uniform: presence checked on one item.
         self.has_seg = bool(self.names) and os.path.exists(
             os.path.join(data_dir, self.names[0] + "_seg.png")
+        )
+        self.has_gt = bool(self.names) and os.path.exists(
+            os.path.join(data_dir, self.names[0] + "_pose.txt")
         )
 
     def __len__(self) -> int:
@@ -273,6 +287,11 @@ class PreparedSnippets:
                 cv2.IMREAD_GRAYSCALE,
             )
             out["seg"] = seg.astype(np.int32)
+        if self.has_gt:
+            with open(os.path.join(self.dir, name + "_pose.txt")) as f:
+                out["gt_pose"] = np.fromstring(
+                    f.read(), sep=","
+                ).reshape(2, 4, 4).astype(np.float32)
         return out
 
     def batches(self, batch_size: int, steps: int | None = None):

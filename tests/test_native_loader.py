@@ -120,12 +120,31 @@ def test_seg_maps(prepared_dir, tmp_path):
     assert native.has_seg
     py = PreparedSnippets(str(d))
     assert py.has_seg
+    # GT pose lane: two 4x4 warp transforms per item (_pose.txt).
+    gts = {}
+    for t in range(1, N_ITEMS + 1):
+        past = np.linalg.inv(seq.poses[t - 1]) @ seq.poses[t]
+        futr = np.linalg.inv(seq.poses[t + 1]) @ seq.poses[t]
+        gt = np.stack([past, futr])
+        gts[f"00_{t:06d}"] = gt
+        (d / f"00_{t:06d}_pose.txt").write_text(
+            ",".join(str(v) for v in gt.ravel())
+        )
+    native.close()
+    native = NativeSnippetLoader(
+        str(d), batch_size=4, shuffle=False, loop=False, threads=3
+    )
+    assert native.has_gt
     batch = next(native.batches())
     assert batch["seg"].shape == (4, H, W)
     assert batch["seg"].dtype == np.int32
+    assert batch["gt_pose"].shape == (4, 2, 4, 4)
     for k in range(4):
         item = py.load(py.names[k])
         np.testing.assert_array_equal(batch["seg"][k], item["seg"])
+        np.testing.assert_allclose(
+            batch["gt_pose"][k], gts[py.names[k]], atol=1e-6
+        )
     native.close()
 
 

@@ -145,6 +145,16 @@ class TestOfflinePrep:
             interpolation=cv2.INTER_NEAREST,
         )
         np.testing.assert_array_equal(item["seg"], want.astype(np.int32))
+        # GT warp transforms ride too (supervised tier from prepared
+        # data): target->past and target->future, model convention —
+        # must equal the synthetic world's exact warp_pose.
+        assert ds.has_gt and batch["gt_pose"].shape[1:] == (2, 4, 4)
+        np.testing.assert_allclose(
+            item["gt_pose"][0], seq.warp_pose(t0, t0 - 1), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            item["gt_pose"][1], seq.warp_pose(t0, t0 + 1), atol=1e-5
+        )
 
     def test_raw_roundtrip(self, tmp_path):
         """KITTI *raw* layout (R11 kitti_raw_loader parity): drives +

@@ -10,12 +10,15 @@
 //   <dir>/<name>.jpg      H x 3W RGB JPEG: [prev | target | next]
 //   <dir>/<name>_cam.txt  9 comma-separated intrinsics (row-major K)
 //   <dir>/<name>_seg.png  optional H x W 8-bit label map (target frame)
+//   <dir>/<name>_pose.txt optional 32 comma-separated floats: two 4x4
+//                         GT warp transforms (target->each source)
 //
 // Batch output (float32 RGB in [0,1]; seg int32 labels):
 //   target  (B, H, W, 3)
 //   sources (B, 2, H, W, 3)   [prev, next]
 //   K       (B, 3, 3)
 //   seg     (B, H, W)         when created with with_seg
+//   gt      (B, 2, 4, 4)      when created with with_gt
 //
 // Build: make -C tools/native_loader  (links libjpeg + libpng + pthread)
 
@@ -47,6 +50,32 @@ struct JpegErrorMgr {
 void jpeg_error_exit(j_common_ptr cinfo) {
   auto* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
   longjmp(err->setjmp_buffer, 1);
+}
+
+// Read `count` comma/space-separated floats from a small text file.
+bool read_floats(const std::string& path, float* out, int count,
+                 std::string* error) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) {
+    *error = "open failed: " + path;
+    return false;
+  }
+  char buf[2048];
+  size_t n = fread(buf, 1, sizeof(buf) - 1, f);
+  fclose(f);
+  buf[n] = 0;
+  char* p = buf;
+  for (int i = 0; i < count; ++i) {
+    char* end = nullptr;
+    out[i] = strtof(p, &end);
+    if (end == p) {
+      *error = "bad float file: " + path;
+      return false;
+    }
+    p = end;
+    while (*p == ',' || *p == ' ' || *p == '\n') ++p;
+  }
+  return true;
 }
 
 // Decode <name>_seg.png (8-bit gray H x W) into int32 labels.
@@ -163,32 +192,11 @@ bool decode_item(const std::string& dir, const std::string& name, int H,
   jpeg_destroy_decompress(&cinfo);
   fclose(f);
 
-  const std::string cam = dir + "/" + name + "_cam.txt";
-  FILE* cf = fopen(cam.c_str(), "rb");
-  if (!cf) {
-    *error = "open failed: " + cam;
-    return false;
-  }
-  char buf[1024];
-  size_t n = fread(buf, 1, sizeof(buf) - 1, cf);
-  fclose(cf);
-  buf[n] = 0;
-  char* p = buf;
-  for (int i = 0; i < 9; ++i) {
-    char* end = nullptr;
-    Kout[i] = strtof(p, &end);
-    if (end == p) {
-      *error = "bad cam file: " + cam;
-      return false;
-    }
-    p = end;
-    while (*p == ',' || *p == ' ' || *p == '\n') ++p;
-  }
-  return true;
+  return read_floats(dir + "/" + name + "_cam.txt", Kout, 9, error);
 }
 
 struct BatchBuffer {
-  std::vector<float> target, sources, K;
+  std::vector<float> target, sources, K, gt;
   std::vector<int32_t> seg;
   int filled = 0;           // decoded items in this buffer
   int assigned = 0;         // items handed to workers
@@ -200,7 +208,7 @@ struct Loader {
   std::string dir;
   std::vector<std::string> names;
   int batch, H, W;
-  bool shuffle, loop, with_seg = false;
+  bool shuffle, loop, with_seg = false, with_gt = false;
   std::mt19937_64 rng;
 
   std::vector<std::thread> workers;
@@ -280,6 +288,10 @@ struct Loader {
                         buf->seg.data() + static_cast<int64_t>(slot) * H * W,
                         &err);
       }
+      if (ok && with_gt) {
+        ok = read_floats(dir + "/" + name + "_pose.txt",
+                         buf->gt.data() + slot * 32, 32, &err);
+      }
       {
         std::lock_guard<std::mutex> lk(mu);
         if (!ok && error.empty()) error = err;
@@ -293,7 +305,8 @@ struct Loader {
   }
 
   // 1 = batch copied out, 0 = end of data, -1 = error.
-  int next(float* target, float* sources, float* K, int32_t* seg) {
+  int next(float* target, float* sources, float* K, int32_t* seg,
+           float* gt) {
     std::unique_lock<std::mutex> lk(mu);
     BatchBuffer* buf = nullptr;
     for (;;) {
@@ -317,6 +330,8 @@ struct Loader {
     if (with_seg && seg)
       memcpy(seg, buf->seg.data(),
              sizeof(int32_t) * static_cast<int64_t>(batch) * H * W);
+    if (with_gt && gt)
+      memcpy(gt, buf->gt.data(), sizeof(float) * batch * 32);
     lk.lock();
     buf->state = BatchBuffer::FREE;
     ++batches_consumed;
@@ -333,7 +348,7 @@ extern "C" {
 void* snl_create(const char* dir, const char* names_blob, int batch,
                  int height, int width, int n_threads,
                  unsigned long long seed, int shuffle, int loop,
-                 int with_seg) {
+                 int with_seg, int with_gt) {
   auto* L = new Loader;
   L->dir = dir;
   const char* p = names_blob;
@@ -349,6 +364,7 @@ void* snl_create(const char* dir, const char* names_blob, int batch,
   L->shuffle = shuffle != 0;
   L->loop = loop != 0;
   L->with_seg = with_seg != 0;
+  L->with_gt = with_gt != 0;
   L->rng.seed(seed);
   if (L->names.empty() || static_cast<int>(L->names.size()) < batch) {
     delete L;
@@ -361,6 +377,7 @@ void* snl_create(const char* dir, const char* names_blob, int batch,
     b.K.resize(batch * 9);
     if (L->with_seg)
       b.seg.resize(static_cast<int64_t>(batch) * height * width);
+    if (L->with_gt) b.gt.resize(batch * 32);
   }
   L->new_epoch();
   if (n_threads < 1) n_threads = 1;
@@ -370,8 +387,8 @@ void* snl_create(const char* dir, const char* names_blob, int batch,
 }
 
 int snl_next(void* h, float* target, float* sources, float* K,
-             int32_t* seg) {
-  return static_cast<Loader*>(h)->next(target, sources, K, seg);
+             int32_t* seg, float* gt) {
+  return static_cast<Loader*>(h)->next(target, sources, K, seg, gt);
 }
 
 // Copies the error message (empty string if none) into out.
