@@ -164,9 +164,18 @@ def cmd_train(args) -> int:
     from davo_tpu.data.prefetch import PrefetchStats, device_prefetch
 
     stats = PrefetchStats()
+    batch_iter = ds.batches(steps=cfg.train.max_steps)
+    if not isinstance(ds, SnippetDataset):
+        # Prepared-layout readers yield raw batches; apply the same
+        # train-time augmentation SnippetDataset does internally.
+        from davo_tpu.data.snippets import augment_batches
+
+        batch_iter = augment_batches(
+            batch_iter, mode=augment, seed=cfg.train.seed
+        )
     fit(
         cfg,
-        device_prefetch(ds.batches(steps=cfg.train.max_steps), stats=stats),
+        device_prefetch(batch_iter, stats=stats),
         checkpoint_dir=args.checkpoint_dir,
         log_fn=log_fn,
         # fit() writes scalars AND (when train.image_every > 0)

@@ -63,6 +63,60 @@ def apply_scale_crop(
     return frames, seg, K
 
 
+def augment_batches(batches, mode=True, seed: int = 0):
+    """Train-time augmentation for PRE-BATCHED pipelines (the prepared
+    layout's python/native readers yield raw batches; `SnippetDataset`
+    augments per snippet internally — reference parity: the reference
+    augments its prepared triplets inside `data_loader.py`).
+
+    Per item: shared gamma/brightness/color jitter across target +
+    sources (photometric consistency), and — unless mode == "color" —
+    the random zoom/crop with intrinsics follow-through
+    (`apply_scale_crop`; gt_pose stays valid, the zoom is purely a K
+    change). Color jitter is vectorized over the batch; zoom/crop runs
+    per item (cv2).
+    """
+    rng = np.random.default_rng(seed)
+    for batch in batches:
+        tgt = batch["target"]
+        src = batch["sources"]
+        B = tgt.shape[0]
+        gamma = rng.uniform(0.8, 1.2, (B, 1, 1, 1)).astype(np.float32)
+        bright = rng.uniform(0.8, 1.2, (B, 1, 1, 1)).astype(np.float32)
+        color = rng.uniform(0.9, 1.1, (B, 1, 1, 3)).astype(np.float32)
+        out = dict(batch)
+        out["target"] = np.clip(tgt**gamma * bright * color, 0.0, 1.0)
+        out["sources"] = np.clip(
+            src ** gamma[:, None] * bright[:, None] * color[:, None],
+            0.0,
+            1.0,
+        ).astype(np.float32)
+        if mode != "color":
+            K = batch["K"].copy()
+            seg = batch.get("seg")
+            new_seg = None if seg is None else seg.copy()
+            H, W = tgt.shape[1], tgt.shape[2]
+            for i in range(B):
+                s = float(rng.uniform(1.0, 1.15))
+                nh, nw = int(np.ceil(H * s)), int(np.ceil(W * s))
+                oy = int(rng.integers(0, nh - H + 1))
+                ox = int(rng.integers(0, nw - W + 1))
+                frames = [out["target"][i]] + list(out["sources"][i])
+                sg = None if seg is None else seg[i]
+                frames, sg, Ki = apply_scale_crop(
+                    frames, sg, K[i], s, oy, ox
+                )
+                out["target"][i] = frames[0]
+                out["sources"][i] = np.stack(frames[1:], 0)
+                K[i] = Ki
+                if new_seg is not None:
+                    new_seg[i] = sg
+            out["K"] = K
+            if new_seg is not None:
+                out["seg"] = new_seg
+        yield out
+
+
 def snippet_indices(n_frames: int, seq_length: int = 3, stride: int = 1) -> list[int]:
     """Target-frame indices t such that [t-k, t+k] fits in the sequence."""
     k = seq_length // 2

@@ -472,6 +472,35 @@ class TestSnippets:
         bf = next(ds_full.batches(steps=1))
         assert not np.allclose(bf["K"], seq.K[None].astype(np.float32))
 
+    def test_augment_batches_wrapper(self, seq):
+        """Batch-level augmentation for prepared-layout readers: same
+        semantics as SnippetDataset's internal augment — jitter shared
+        per item, zoom/crop updates K, seg labels survive, gt_pose
+        passes through untouched, shapes/ranges preserved."""
+        from davo_tpu.data.snippets import augment_batches
+
+        ds = SnippetDataset(
+            seq, batch_size=4, with_seg=True, with_gt=True, seed=0
+        )
+        raw = next(ds.batches(steps=1))
+        out = next(iter(augment_batches(iter([dict(raw)]), mode=True,
+                                        seed=3)))
+        assert out["target"].shape == raw["target"].shape
+        assert out["sources"].shape == raw["sources"].shape
+        assert out["target"].min() >= 0.0 and out["target"].max() <= 1.0
+        assert not np.allclose(out["target"], raw["target"])  # jittered
+        assert not np.allclose(out["K"], raw["K"])  # zoomed focal
+        np.testing.assert_array_equal(out["gt_pose"], raw["gt_pose"])
+        assert set(np.unique(out["seg"])) <= set(np.unique(raw["seg"]))
+        # color-only: K untouched.
+        out_c = next(iter(augment_batches(iter([dict(raw)]),
+                                          mode="color", seed=3)))
+        np.testing.assert_array_equal(out_c["K"], raw["K"])
+        # deterministic by seed
+        out2 = next(iter(augment_batches(iter([dict(raw)]), mode=True,
+                                         seed=3)))
+        np.testing.assert_array_equal(out["target"], out2["target"])
+
     def test_dynamic_along_path_coverage_persists(self):
         """dynamic_along_path=True keeps objects visible over LONG
         sequences (start-anchored placement decays to 0 coverage past
