@@ -490,6 +490,67 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Serialize the pose-inference forward as a portable StableHLO
+    artifact (jax.export): params baked in, fixed batch/resolution —
+    a serving deployable that needs no Python model code to run
+    (`jax.export.deserialize(blob).call(...)`)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import export as jexport
+
+    from davo_tpu.models import presets
+    from davo_tpu.models.davo import DavoModel
+
+    cfg = _apply_sets(presets.get(args.version), args.set)
+    H, W = cfg.model.img_height, cfg.model.img_width
+    B = args.batch_size
+    rng = np.random.default_rng(0)
+    frames = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    seg0 = rng.integers(0, cfg.model.num_seg_classes, (B, H, W)).astype(
+        np.int32
+    )
+    with_seg = cfg.model.attention == "flow_seg"
+    if args.ckpt:
+        model, params = _restore_model(
+            cfg, args.ckpt, frames, seg0 if with_seg else None
+        )
+    else:
+        from davo_tpu.train.loop import create_state
+
+        sample = {
+            "target": frames,
+            "sources": frames[:, None],
+            "K": np.eye(3, dtype=np.float32)[None].repeat(B, 0),
+        }
+        if with_seg:
+            sample["seg"] = seg0
+        model, state, _ = create_state(cfg, jax.random.key(0), sample)
+        params = state.params
+        print("warning: exporting UNTRAINED params (no --ckpt)",
+              file=sys.stderr)
+
+    def forward(target, source, seg):
+        out = model.apply(
+            params, target, source[:, None],
+            seg=seg if with_seg else None, train=False,
+        )
+        return out["poses"][:, 0]
+
+    spec = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
+    seg_spec = jax.ShapeDtypeStruct((B, H, W), jnp.int32)
+    exp = jexport.export(jax.jit(forward))(spec, spec, seg_spec)
+    blob = exp.serialize()
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(
+        f"exported {args.version} pose forward (B={B}, {H}x{W}) "
+        f"-> {args.out} ({len(blob)} bytes, platforms={exp.platforms})"
+    )
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="davo-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -567,6 +628,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop anchors on dynamic seg classes (11-18)")
     a.add_argument("--set", action="append")
     a.set_defaults(fn=cmd_ba)
+
+    x = sub.add_parser(
+        "export", help="serialize the pose forward (StableHLO)"
+    )
+    x.add_argument("--version", default="davo-fast")
+    x.add_argument("--ckpt", default=None)
+    x.add_argument("--out", required=True)
+    x.add_argument("--batch-size", type=int, default=128)
+    x.add_argument("--set", action="append")
+    x.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--version", default="davo")

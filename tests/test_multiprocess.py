@@ -72,7 +72,7 @@ def test_two_process_loopback(tmp_path):
                 )
             )
     for p in procs:
-        p.wait(timeout=300)
+        p.wait(timeout=900)
     for i, p in enumerate(procs):
         out = (tmp_path / f"p{i}.log").read_text()
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
@@ -331,7 +331,7 @@ def test_fault_injection_ba_four_process(tmp_path):
     # Phase 1: proc 2 hard-exits after round 3 of 6. Survivors block
     # (or fail) on round 4's psum; the driver tears the job down.
     procs = launch("crash")
-    procs[2].wait(timeout=300)
+    procs[2].wait(timeout=900)
     assert procs[2].returncode == 17, (
         f"expected injected crash:\n{read_log('crash', 2)[-2000:]}"
     )
@@ -348,7 +348,7 @@ def test_fault_injection_ba_four_process(tmp_path):
     # Phase 2: relaunch all four; they restore mid-BA state and finish.
     procs = launch("resume")
     for p in procs:
-        p.wait(timeout=300)
+        p.wait(timeout=900)
     for i, p in enumerate(procs):
         out = read_log("resume", i)
         assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
@@ -422,7 +422,7 @@ def test_fault_injection_restart_from_ckpt(tmp_path):
     # next collective; the driver (this test) detects the death and
     # tears the job down — the real-pod runbook.
     procs = launch("crash")
-    procs[1].wait(timeout=300)
+    procs[1].wait(timeout=900)
     assert procs[1].returncode == 17, (
         f"expected injected crash:\n{read_log('crash', 1)[-2000:]}"
     )
@@ -440,7 +440,7 @@ def test_fault_injection_restart_from_ckpt(tmp_path):
     # Phase 2: relaunch both processes; they restore and finish.
     procs = launch("resume")
     for p in procs:
-        p.wait(timeout=300)
+        p.wait(timeout=900)
     for i, p in enumerate(procs):
         out = read_log("resume", i)
         assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
