@@ -116,6 +116,16 @@ def cmd_train(args) -> int:
                 "flow or train from a KITTI root", file=sys.stderr,
             )
             return 1
+        if cfg.train.pose_supervision_weight > 0 and not prepared.has_gt:
+            print(
+                "pose_supervision_weight > 0 but the prepared layout "
+                "has no *_pose.txt GT (re-run prep from a source with "
+                "poses, or train unsupervised)", file=sys.stderr,
+            )
+            return 1
+        # Only decode/ship lanes the config consumes.
+        prepared.has_seg &= cfg.model.attention == "flow_seg"
+        prepared.has_gt &= cfg.train.pose_supervision_weight > 0
         ds = None
         if args.loader in ("auto", "native"):
             # C++ decode pool (tools/native_loader): overlaps JPEG
@@ -127,6 +137,8 @@ def cmd_train(args) -> int:
                     args.data,
                     batch_size=cfg.train.batch_size,
                     seed=cfg.train.seed,
+                    with_seg=cfg.model.attention == "flow_seg",
+                    with_gt=cfg.train.pose_supervision_weight > 0,
                 )
                 print("input pipeline: native C++ loader", flush=True)
             except Exception as e:
@@ -540,7 +552,13 @@ def cmd_export(args) -> int:
 
     spec = jax.ShapeDtypeStruct((B, H, W, 3), jnp.float32)
     seg_spec = jax.ShapeDtypeStruct((B, H, W), jnp.int32)
-    exp = jexport.export(jax.jit(forward))(spec, spec, seg_spec)
+    # Without --platforms the artifact is pinned to the platform this
+    # CLI runs on (the tunnel TPU in this sandbox!) and deserialize().
+    # call() refuses elsewhere — let deployment choose.
+    platforms = args.platforms.split(",") if args.platforms else None
+    exp = jexport.export(jax.jit(forward), platforms=platforms)(
+        spec, spec, seg_spec
+    )
     blob = exp.serialize()
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -636,6 +654,10 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--ckpt", default=None)
     x.add_argument("--out", required=True)
     x.add_argument("--batch-size", type=int, default=128)
+    x.add_argument(
+        "--platforms", default=None,
+        help="comma list to lower for (e.g. tpu,cpu); default: current",
+    )
     x.add_argument("--set", action="append")
     x.set_defaults(fn=cmd_export)
 

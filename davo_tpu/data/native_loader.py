@@ -89,6 +89,8 @@ class NativeSnippetLoader:
         seed: int = 0,
         shuffle: bool = True,
         loop: bool = True,
+        with_seg: bool | None = None,
+        with_gt: bool | None = None,
     ):
         if threads is None:
             # Oversubscribe 2x: decode threads stall on file I/O, and
@@ -111,12 +113,20 @@ class NativeSnippetLoader:
         ):
             raise ValueError(f"cannot probe {probe}")
         self.height, self.width = h.value, w.value
-        # Prepared sets are uniform: seg presence checked on one item.
-        self.has_seg = os.path.exists(
+        # Prepared sets are uniform: presence checked on one item.
+        # with_seg/with_gt None = auto (decode when present); pass
+        # False to skip decode + transfer of unconsumed lanes.
+        seg_avail = os.path.exists(
             os.path.join(data_dir, self.names[0] + "_seg.png")
         )
-        self.has_gt = os.path.exists(
+        gt_avail = os.path.exists(
             os.path.join(data_dir, self.names[0] + "_pose.txt")
+        )
+        self.has_seg = seg_avail if with_seg is None else (
+            with_seg and seg_avail
+        )
+        self.has_gt = gt_avail if with_gt is None else (
+            with_gt and gt_avail
         )
         blob = "\n".join(self.names).encode()
         self._h = lib.snl_create(

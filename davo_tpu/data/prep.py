@@ -282,10 +282,10 @@ class PreparedSnippets:
             "K": K.astype(np.float32),
         }
         if self.has_seg:
-            seg = cv2.imread(
-                os.path.join(self.dir, name + "_seg.png"),
-                cv2.IMREAD_GRAYSCALE,
-            )
+            seg_path = os.path.join(self.dir, name + "_seg.png")
+            seg = cv2.imread(seg_path, cv2.IMREAD_GRAYSCALE)
+            if seg is None:  # partially-populated dir: name the file
+                raise FileNotFoundError(seg_path)
             out["seg"] = seg.astype(np.int32)
         if self.has_gt:
             with open(os.path.join(self.dir, name + "_pose.txt")) as f:

@@ -4,7 +4,8 @@ Inference is profiled to death (R2_RESULTS); the TRAIN step (forward +
 backward + Adam) has only incidental steps/s logs from e2e runs. This
 measures it properly: ms/step and frames/s across batch sizes and
 attention variants, remat on/off (HBM/FLOP trade), using the repo
-timing protocol (min over >= 5 loops, one jitted program).
+timing protocol (min over >= 5 loops, one jitted program; hand-rolled
+here because the step donates + chains state, which `timed` cannot).
 
 Usage: tools/dev/tpu_run.sh tools/dev/exp_train_prof.py <timeout> 1
        argv: [IMG_H] [IMG_W] (default 128 416)
@@ -25,7 +26,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from davo_tpu.config import Config, ModelConfig, TrainConfig
 from davo_tpu.train.loop import create_state, make_train_step
-from davo_tpu.utils.profiling import timed
 
 H = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 W = int(sys.argv[2]) if len(sys.argv) > 2 else 416
@@ -69,7 +69,7 @@ def bench(tag, model_kw, batch, remat=False, sup=0.0):
             rng.integers(0, 19, (batch, H, W)), jnp.int32
         )
     if sup > 0:
-        b["gt"] = jnp.asarray(
+        b["gt_pose"] = jnp.asarray(
             np.tile(np.eye(4, dtype=np.float32), (batch, 2, 1, 1))
         )
     model, state, tx = create_state(cfg, jax.random.key(0), b)
