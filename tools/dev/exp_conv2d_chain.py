@@ -27,12 +27,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from davo_tpu.utils.profiling import timed
 
 
-def _chain_kernel(x_ref, *wb_refs, out_ref, scratch, H, W, n_layers):
+def _chain_kernel(*refs, H, W, n_layers):
     """n_layers of SAME 3x3 stride-1 conv + bias + relu, all in VMEM.
 
-    x_ref:   (1, P, C0); wb_refs per layer: w (9, Cin, Cout), b (1, Cout)
-    scratch: (P + 2W + 2, Cmax) f32 zero-padded activation buffer
+    refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch]:
+    x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
+    scratch (P + 2W + 2, Cmax) f32 zero-padded activation buffer.
     """
+    x_ref = refs[0]
+    wb_refs = refs[1 : 1 + 2 * n_layers]
+    out_ref = refs[1 + 2 * n_layers]
+    scratch = refs[2 + 2 * n_layers]
     P = H * W
     pad = W + 1
     col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
