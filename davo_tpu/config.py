@@ -38,6 +38,18 @@ class ModelConfig:
     # (no bottleneck).
     flow_est_bottleneck: int = 0
     attention: str = "flow_seg"  # none | flow | flow_seg (paper's full model)
+    # What RegionAttention sees (attention == "flow_seg" only).
+    # "flow": the forward (target->source) flow field — the paper's cue.
+    # "flow_fb": + an occlusion-aware forward-backward consistency
+    # channel: run the flow net in BOTH directions and append
+    # |fwd(x) + bwd(x + fwd(x))| — near zero where the scene is rigid
+    # and visible in both frames, large on occlusions and on
+    # independently-moving objects whose two-view flows disagree. A
+    # constant-velocity dynamic object fools symmetric-flow cues but
+    # not this one. Costs a second flow-net pass (train-time cue
+    # quality vs ~2x flow compute); flag-gated pending the TPU
+    # ablation (exp_attention_ablation --cue flow_fb).
+    attention_cue: str = "flow"
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
     # Standalone the Pallas cost volume beats the XLA lowering, but
@@ -79,6 +91,16 @@ class TrainConfig:
     # a degenerate optimum (empty mask -> loss 0: a TPU run collapsed
     # into it by warping everything out of frame) — ablation only.
     photo_masking: str = "border"
+    # Full-resolution multi-scale sampling (Monodepth2 Sec. 3.3):
+    # upsample each scale's disparity to input resolution and warp the
+    # FULL-RES source with it, instead of warping a downsampled source
+    # at scale resolution. Removes the texture-copy artifacts that
+    # low-res photometric errors imprint on coarse disparities (the
+    # coarse scales otherwise learn to mimic the blurred image, not
+    # geometry). Costs num_scales full-res warps per source (~1.6x
+    # photometric-loss FLOPs); train-time only. Flag-gated pending TPU
+    # e2e validation (training-dynamics conclusions need chip runs).
+    photo_fullres: bool = False
     # Ramp the photometric gradient INTO DEPTH over the first N steps
     # (loss value unchanged; pose/flow gradients untouched). While
     # poses are still wrong, the photometric landscape prefers

@@ -31,7 +31,7 @@ def parse_calib(text: str) -> dict[str, np.ndarray]:
         if ":" not in line:
             continue
         key, vals = line.split(":", 1)
-        arr = np.fromstring(vals, sep=" ", dtype=np.float64)
+        arr = np.array(vals.split(), dtype=np.float64)
         if arr.size == 12:
             out[key.strip()] = arr.reshape(3, 4)
         elif arr.size:

@@ -33,6 +33,7 @@ from davo_tpu.core import geometry as geo
 from davo_tpu.core.pyramid import image_pyramid
 from davo_tpu.core.ssim import ssim
 from davo_tpu.core.warp import flow_warp, projective_inverse_warp
+from davo_tpu.kernels.resize import resize_bilinear_aligned
 from davo_tpu.models.dispnet import disp_to_depth
 from davo_tpu.models.flownet import FlowNetLite
 
@@ -48,6 +49,7 @@ def photometric_loss(
     ssim_weight: float,
     masking: str = "border",
     depth_grad_scale: jnp.ndarray | float = 1.0,
+    fullres: bool = False,
 ) -> jnp.ndarray:
     """Multi-scale view-synthesis loss.
 
@@ -65,19 +67,35 @@ def photometric_loss(
     ablation only).
     depth_grad_scale: multiplier on the gradient flowing into depth
     (warm-up schedule; value and pose gradients are unaffected).
+    fullres: Monodepth2-style full-resolution sampling — upsample each
+    scale's disparity to input resolution and evaluate every scale's
+    photometric term on the FULL-RES images (one shared full-res
+    warp/compare path; the scale pyramid survives only through the
+    disparity heads). See `TrainConfig.photo_fullres`.
     """
     num_scales = len(disps)
-    tgt_pyr = image_pyramid(target, num_scales)
-    src_pyrs = [
-        image_pyramid(sources[:, s], num_scales)
-        for s in range(sources.shape[1])
-    ]
-    Ks = geo.intrinsics_pyramid(K, num_scales)
+    H, W = target.shape[1], target.shape[2]
+    if fullres:
+        tgt_pyr = [target] * num_scales
+        src_pyrs = [
+            [sources[:, s]] * num_scales for s in range(sources.shape[1])
+        ]
+        Ks = [K] * num_scales
+    else:
+        tgt_pyr = image_pyramid(target, num_scales)
+        src_pyrs = [
+            image_pyramid(sources[:, s], num_scales)
+            for s in range(sources.shape[1])
+        ]
+        Ks = geo.intrinsics_pyramid(K, num_scales)
     fill = "zeros" if masking == "valid" else "border"
 
     total = 0.0
     for s_idx in range(num_scales):
-        depth = disp_to_depth(disps[s_idx][..., 0])  # (B, h, w)
+        disp_s = disps[s_idx]
+        if fullres and disp_s.shape[1:3] != (H, W):
+            disp_s = resize_bilinear_aligned(disp_s, H, W)
+        depth = disp_to_depth(disp_s[..., 0])  # (B, h, w)
         if not (isinstance(depth_grad_scale, float) and depth_grad_scale == 1.0):
             # value == depth; d/d(disp) scaled by depth_grad_scale.
             dsg = jax.lax.stop_gradient(depth)
@@ -236,7 +254,7 @@ def total_loss(
     photo = photometric_loss(
         outputs["disp"], outputs["poses"], target, sources, K,
         tcfg.ssim_weight, masking=tcfg.photo_masking,
-        depth_grad_scale=dgs,
+        depth_grad_scale=dgs, fullres=tcfg.photo_fullres,
     )
     smooth = smoothness_loss(outputs["disp"], target)
     loss = photo + tcfg.smooth_weight * smooth

@@ -345,6 +345,57 @@ class TestDavoModel:
         if attention == "flow_seg":
             assert out["attn"].shape == (2, 2, 19)
 
+    def test_flow_fb_cue_variant(self, batch):
+        """attention_cue="flow_fb": forward runs, outputs keep their
+        shapes, and gradient reaches the attention subnet through the
+        consistency channel."""
+        cfg = ModelConfig(
+            img_height=64,
+            img_width=96,
+            pose_channels=(8, 12, 16, 16),
+            disp_channels=(8, 12, 16, 16),
+            flow_levels=3,
+            flow_search_range=2,
+            attention="flow_seg",
+            attention_cue="flow_fb",
+            compute_dtype="float32",
+        )
+        model = DavoModel(cfg)
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"],
+            seg=batch["seg"],
+        )
+        out = model.apply(
+            params, batch["target"], batch["sources"], seg=batch["seg"]
+        )
+        assert out["poses"].shape == (2, 2, 6)
+        assert out["attn"].shape == (2, 2, 19)
+
+        def attn_sum(p):
+            o = model.apply(
+                p, batch["target"], batch["sources"], seg=batch["seg"]
+            )
+            return (o["attn"] ** 2).sum()
+
+        g = jax.grad(attn_sum)(params)
+        leaves = jax.tree.leaves(
+            g["params"]["attn"] if "attn" in g["params"] else g
+        )
+        assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+    def test_fb_consistency_zero_for_inverse_uniform_flows(self):
+        """The gating arithmetic itself: when bwd == -fwd (uniform
+        fields), |fwd(x) + bwd(x + fwd(x))| must be exactly 0 — rigid
+        co-visible pixels produce no occlusion signal."""
+        from davo_tpu.core.warp import flow_warp_separable
+
+        fwd = jnp.full((1, 16, 24, 2), 1.5, jnp.float32)
+        bwd = -fwd
+        bwd_at_fwd, _ = flow_warp_separable(bwd, fwd)
+        fb_mag = jnp.linalg.norm(fwd + bwd_at_fwd, axis=-1)
+        # Interior pixels (edge-clamped samples differ at the border).
+        assert float(jnp.abs(fb_mag[:, 3:-3, 3:-3]).max()) < 1e-5
+
     def test_inference_mode_skips_disp(self, batch):
         model = DavoModel(CFG._replace_attention("none") if hasattr(CFG, "_replace_attention") else ModelConfig(
             img_height=64, img_width=96,

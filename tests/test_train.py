@@ -127,6 +127,61 @@ class TestLosses:
         assert bad_masked < 1e-6      # the trap this test pins
         assert bad_border > 5 * good  # border keeps it repulsive
 
+    def test_fullres_sampling(self, seq):
+        """photo_fullres: (a) a full-res scale-0 disp gives the SAME
+        term whether sampled fullres or per-scale (identity resize);
+        (b) multi-scale fullres keeps the loss-landscape ordering and
+        sends gradient into EVERY scale's disparity (the coarse heads
+        train against full-res photometric error, not a blurred
+        pyramid level)."""
+        t = 3
+        target = jnp.asarray(seq.frame(t))[None]
+        sources = jnp.stack(
+            [jnp.asarray(seq.frame(t - 1)), jnp.asarray(seq.frame(t + 1))]
+        )[None]
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        from davo_tpu.core.geometry import mat_to_pose_vec
+        from davo_tpu.models.dispnet import depth_to_disp
+
+        disp0 = depth_to_disp(jnp.asarray(seq.depth(t))[None])
+        disps = [disp0[..., None]]
+        for s in range(1, 4):
+            disps.append(disp0[:, ::2**s, ::2**s][..., None])
+        gt_poses = jnp.stack(
+            [
+                mat_to_pose_vec(jnp.asarray(seq.warp_pose(t, t - 1), jnp.float32)),
+                mat_to_pose_vec(jnp.asarray(seq.warp_pose(t, t + 1), jnp.float32)),
+            ]
+        )[None]
+
+        # (a) scale-0-only: fullres == pyramid (same images, same disp).
+        a = float(photometric_loss(disps[:1], gt_poses, target, sources, K, 0.85))
+        b = float(
+            photometric_loss(
+                disps[:1], gt_poses, target, sources, K, 0.85, fullres=True
+            )
+        )
+        assert abs(a - b) < 1e-6
+
+        # (b) multi-scale fullres: ordering + per-scale gradients.
+        good = float(
+            photometric_loss(disps, gt_poses, target, sources, K, 0.85, fullres=True)
+        )
+        bad = float(
+            photometric_loss(
+                disps, gt_poses.at[..., 0].add(1.0), target, sources, K, 0.85,
+                fullres=True,
+            )
+        )
+        assert bad > 1.4 * good
+        grads = jax.grad(
+            lambda ds: photometric_loss(
+                ds, gt_poses, target, sources, K, 0.85, fullres=True
+            )
+        )(disps)
+        for g in grads:
+            assert float(jnp.abs(g).max()) > 0.0
+
     def test_flow_loss_automin_no_empty_mask_optimum(self, seq):
         """Regression (r3 review): flow_losses under masking="automin"
         must NOT reward a flow that warps everything out of frame —

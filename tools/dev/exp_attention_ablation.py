@@ -64,9 +64,21 @@ print(f"eval world dynamic coverage: {dyn_frac:.2f}", flush=True)
 
 report = {"steps": STEPS, "dynamic_coverage": dyn_frac, "variants": {}}
 
-for variant in ("none", "flow", "flow_seg"):
+# argv[3]: comma-separated variant list; "flow_seg_fb" = flow_seg with
+# the occlusion-aware fb-consistency attention cue (config.attention_cue).
+VARIANTS = (
+    sys.argv[3].split(",")
+    if len(sys.argv) > 3
+    else ["none", "flow", "flow_seg"]
+)
+
+for variant in VARIANTS:
+    attention = "flow_seg" if variant == "flow_seg_fb" else variant
+    cue = "flow_fb" if variant == "flow_seg_fb" else "flow"
     cfg = Config(
-        model=dataclasses.replace(base.model, attention=variant),
+        model=dataclasses.replace(
+            base.model, attention=attention, attention_cue=cue
+        ),
         train=TrainConfig(
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=STEPS,
@@ -87,7 +99,7 @@ for variant in ("none", "flow", "flow_seg"):
             flush=True,
         ),
     )
-    apply_fn = make_pose_apply_fn(model, state.params, variant)
+    apply_fn = make_pose_apply_fn(model, state.params, attention)
     rels = predict_sequence(apply_fn, frames, seg=segs, batch_size=64)
     pred = assemble_trajectory(rels)
     aligned, scale = align_trajectory_scale(gt, pred)
@@ -98,13 +110,16 @@ for variant in ("none", "flow", "flow_seg"):
     report["variants"][variant] = res
     print(f"[{variant}] {json.dumps(res, default=float)}", flush=True)
 
-none_ate = report["variants"]["none"]["snippet_ate_mean"]
-full_ate = report["variants"]["flow_seg"]["snippet_ate_mean"]
-report["flow_seg_vs_none"] = full_ate / max(none_ate, 1e-12)
+if "none" in report["variants"] and "flow_seg" in report["variants"]:
+    none_ate = report["variants"]["none"]["snippet_ate_mean"]
+    full_ate = report["variants"]["flow_seg"]["snippet_ate_mean"]
+    report["flow_seg_vs_none"] = full_ate / max(none_ate, 1e-12)
 print(
-    f"snippet ATE: none={none_ate:.4f} "
-    f"flow={report['variants']['flow']['snippet_ate_mean']:.4f} "
-    f"flow_seg={full_ate:.4f} (ratio {report['flow_seg_vs_none']:.2f})",
+    "snippet ATE: "
+    + " ".join(
+        f"{v}={r['snippet_ate_mean']:.4f}"
+        for v, r in report["variants"].items()
+    ),
     flush=True,
 )
 
