@@ -31,6 +31,8 @@ WARMUPS = (
     else [0, 250]
 )
 MASKING = sys.argv[3] if len(sys.argv) > 3 else "border"
+# argv[4] == "fullres": Monodepth2-style full-res multi-scale sampling.
+FULLRES = len(sys.argv) > 4 and sys.argv[4] == "fullres"
 
 base = presets.get("tiny")
 H, W = base.model.img_height, base.model.img_width
@@ -57,7 +59,7 @@ for warmup in WARMUPS:
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=STEPS, pose_supervision_weight=100.0,
             smooth_weight=0.1, depth_warmup_steps=warmup,
-            photo_masking=MASKING,
+            photo_masking=MASKING, photo_fullres=FULLRES,
             log_every=max(STEPS // 8, 1),
         ),
     )
@@ -82,7 +84,7 @@ for warmup in WARMUPS:
         if (i + 1) % max(STEPS // 16, 1) == 0 or i == 0:
             dm = float(depth_fn(state.params))
             print(
-                f"[{MASKING} wu={warmup}] step {i + 1}: depth_med={dm:.1f} "
+                f"[{MASKING}{'+fullres' if FULLRES else ''} wu={warmup}] step {i + 1}: depth_med={dm:.1f} "
                 f"photo={float(metrics['photo']):.4f} "
                 f"pose_sup={float(metrics.get('pose_sup', 0.0)):.4f} "
                 f"smooth={float(metrics['smooth']):.6f}",
@@ -94,7 +96,7 @@ for warmup in WARMUPS:
             break
     dm = float(depth_fn(state.params))
     print(
-        f"[{MASKING} wu={warmup}] FINAL depth_med={dm:.1f} vs GT {gt_med:.1f} "
+        f"[{MASKING}{'+fullres' if FULLRES else ''} wu={warmup}] FINAL depth_med={dm:.1f} vs GT {gt_med:.1f} "
         f"(ratio {dm / gt_med:.2f})",
         flush=True,
     )
