@@ -110,6 +110,16 @@ class TrainConfig:
     # the 100 m cap inside the first 100 steps (flat disp, smooth=0).
     # 0 disables.
     depth_warmup_steps: int = 250
+    # SC-SfMLearner (Bian et al., NeurIPS 2019) geometry-consistency
+    # term: project target depth into each source frame and penalize
+    # the normalized disagreement with the source's own predicted
+    # depth, |d_proj - d_sampled| / (d_proj + d_sampled). Ties the
+    # DEPTH SCALE of adjacent frames together, which is the main
+    # driver of trajectory-scale drift in the unsupervised regime
+    # (t_err on long sequences). >0 enables (and makes the model
+    # predict source-frame disparities in the same folded DispNet
+    # pass). Flag-gated pending TPU e2e validation.
+    geo_consistency_weight: float = 0.0
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     # Rematerialize the forward in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for dropping all forward activations from

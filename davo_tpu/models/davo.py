@@ -48,13 +48,20 @@ class DavoModel(nn.Module):
         sources: jnp.ndarray,
         seg: jnp.ndarray | None = None,
         train: bool = True,
+        source_disp: bool = False,
     ) -> dict[str, Any]:
         """target: (B, H, W, 3); sources: (B, S, H, W, 3);
         seg: (B, H, W) int labels (required for attention="flow_seg").
+        source_disp: also predict source-frame disparities (one
+        batch-folded DispNet pass over target+sources) — required by
+        the geometry-consistency loss (TrainConfig
+        geo_consistency_weight > 0).
 
         Returns dict with:
           poses:      (B, S, 6) target->source pose vectors
           disp:       list of (B, H/2^s, W/2^s, 1), train only
+          disp_src:   list of (S*B, ..., 1) (train + source_disp only;
+                      source s at rows [s*B, (s+1)*B))
           flows:      per-source flow pyramids (attention != none)
           attn:       (B, S, K) region weights (attention == "flow_seg")
         """
@@ -136,5 +143,14 @@ class DavoModel(nn.Module):
         )  # (S*B, 6)
         out["poses"] = jnp.moveaxis(pose_flat.reshape(S, B, 6), 0, 1)
         if train:
-            out["disp"] = self.dispnet(target)
+            if source_disp:
+                # One folded pass: rows [0, B) = target, then source
+                # blocks — a single DispNet dispatch instead of S+1.
+                disps_all = self.dispnet(
+                    jnp.concatenate([target, flat_src], axis=0)
+                )
+                out["disp"] = [d[:B] for d in disps_all]
+                out["disp_src"] = [d[B:] for d in disps_all]
+            else:
+                out["disp"] = self.dispnet(target)
         return out

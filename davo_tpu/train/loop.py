@@ -67,7 +67,10 @@ def make_train_step(
     """Returns jitted (state, batch) -> (state, metrics)."""
 
     def forward(params, target, sources, seg):
-        return model.apply(params, target, sources, seg=seg, train=True)
+        return model.apply(
+            params, target, sources, seg=seg, train=True,
+            source_disp=cfg.train.geo_consistency_weight > 0.0,
+        )
 
     if cfg.train.remat:
         # HBM/FLOP trade (SURVEY §7.0 design stance): drop the forward

@@ -32,7 +32,11 @@ from davo_tpu.config import ModelConfig, TrainConfig
 from davo_tpu.core import geometry as geo
 from davo_tpu.core.pyramid import image_pyramid
 from davo_tpu.core.ssim import ssim
-from davo_tpu.core.warp import flow_warp, projective_inverse_warp
+from davo_tpu.core.warp import (
+    bilinear_sample,
+    flow_warp,
+    projective_inverse_warp,
+)
 from davo_tpu.kernels.resize import resize_bilinear_aligned
 from davo_tpu.models.dispnet import disp_to_depth
 from davo_tpu.models.flownet import FlowNetLite
@@ -171,6 +175,49 @@ def smoothness_loss(disps: list[jnp.ndarray], target: jnp.ndarray) -> jnp.ndarra
     return total / len(disps)
 
 
+def geometry_consistency_loss(
+    disp_tgt: jnp.ndarray,
+    disp_src_flat: jnp.ndarray,
+    poses: jnp.ndarray,
+    K: jnp.ndarray,
+) -> jnp.ndarray:
+    """SC-SfMLearner depth scale-consistency (Bian et al., 2019).
+
+    Project every target pixel into each source frame through
+    (depth, pose); the projected point's z in the source frame must
+    agree with the source's own predicted depth sampled at the
+    projected pixel. The normalized residual
+    |d_proj - d_samp| / (d_proj + d_samp) is scale-balanced (equally
+    harsh at 5 m and 50 m), so minimizing it locks the per-frame
+    depth SCALES together — the drift that dominates long-sequence
+    t_err in the unsupervised regime.
+
+    disp_tgt: (B, H, W, 1) full-res target disparity;
+    disp_src_flat: (S*B, H, W, 1) source disparities (source s at rows
+    [s*B, (s+1)*B)); poses: (B, S, 6); K: (B, 3, 3).
+    Masked mean over pixels that land in-frame with positive z; the
+    empty-mask optimum is not reachable here because this term only
+    ever rides on top of the photometric loss, whose border charge
+    already repels warp-everything-out collapses.
+    """
+    B, S = poses.shape[0], poses.shape[1]
+    depth_t = disp_to_depth(disp_tgt[..., 0])          # (B, H, W)
+    depth_s_all = disp_to_depth(disp_src_flat[..., 0])  # (S*B, H, W)
+    total = 0.0
+    for s in range(S):
+        T = geo.pose_vec_to_mat(poses[:, s])
+        cam = geo.pixel_to_cam(depth_t, K)              # (B, 3, H, W)
+        uv, z = geo.cam_to_pixel(cam, K, T)             # (B,2,H,W), (B,H,W)
+        coords = jnp.moveaxis(uv, -3, -1)               # (B, H, W, 2)
+        d_s = depth_s_all[s * B : (s + 1) * B]
+        d_samp, valid = bilinear_sample(d_s[..., None], coords, fill="zeros")
+        d_samp = d_samp[..., 0]
+        v = valid[..., 0] * (z > 0.0).astype(valid.dtype)
+        diff = jnp.abs(z - d_samp) / (z + d_samp + _EPS)
+        total = total + (diff * v).sum() / (v.sum() + _EPS)
+    return total / S
+
+
 def pose_vec_l2(poses: jnp.ndarray, gt_vec: jnp.ndarray) -> jnp.ndarray:
     """L2 between predicted and GT pose VECTORS ([t, r_euler]) with
     rotation weighted up (radians are small vs meters). Shared by the
@@ -260,6 +307,13 @@ def total_loss(
     loss = photo + tcfg.smooth_weight * smooth
     metrics["photo"] = photo
     metrics["smooth"] = smooth
+
+    if tcfg.geo_consistency_weight > 0.0 and "disp_src" in outputs:
+        gc = geometry_consistency_loss(
+            outputs["disp"][0], outputs["disp_src"][0], outputs["poses"], K
+        )
+        loss = loss + tcfg.geo_consistency_weight * gc
+        metrics["geo_consistency"] = gc
 
     if "flows" in outputs:
         fl = flow_losses(

@@ -182,6 +182,62 @@ class TestLosses:
         for g in grads:
             assert float(jnp.abs(g).max()) > 0.0
 
+    def test_geometry_consistency_loss(self, seq):
+        """GT depths + GT pose give near-zero scale-consistency
+        residual; doubling the SOURCE depth scale (the drift this term
+        exists to punish) inflates it by orders of magnitude; gradient
+        reaches both depth inputs."""
+        from davo_tpu.core.geometry import mat_to_pose_vec
+        from davo_tpu.models.dispnet import depth_to_disp
+        from davo_tpu.train.losses import geometry_consistency_loss
+
+        t = 3
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        d_t = depth_to_disp(jnp.asarray(seq.depth(t))[None])[..., None]
+        d_s = depth_to_disp(jnp.asarray(seq.depth(t - 1))[None])[..., None]
+        pose = mat_to_pose_vec(
+            jnp.asarray(seq.warp_pose(t, t - 1), jnp.float32)
+        )[None, None]
+
+        good = float(geometry_consistency_loss(d_t, d_s, pose, K))
+        assert good < 0.01, good
+
+        d_s_scaled = depth_to_disp(
+            2.0 * jnp.asarray(seq.depth(t - 1))[None]
+        )[..., None]
+        bad = float(geometry_consistency_loss(d_t, d_s_scaled, pose, K))
+        assert bad > 20 * max(good, 1e-4), (good, bad)
+
+        g_t, g_s = jax.grad(
+            lambda a, b: geometry_consistency_loss(a, b, pose, K),
+            argnums=(0, 1),
+        )(d_t, d_s_scaled)
+        assert float(jnp.abs(g_t).max()) > 0
+        assert float(jnp.abs(g_s).max()) > 0
+
+    def test_geo_consistency_train_step_integration(self, dataset):
+        """geo_consistency_weight > 0: the folded source-disp pass runs
+        in the jitted step and the metric is finite."""
+        import dataclasses
+
+        from davo_tpu.config import Config
+        from davo_tpu.train.loop import create_state, make_train_step
+
+        cfg = Config(
+            model=TINY,
+            train=TrainConfig(
+                batch_size=2, max_steps=3, geo_consistency_weight=0.5
+            ),
+        )
+        it = dataset.batches(steps=3)
+        first = next(it)
+        model, state, tx = create_state(cfg, jax.random.key(0), first)
+        step_fn = make_train_step(model, tx, cfg)
+        state, metrics = step_fn(state, first)
+        assert "geo_consistency" in metrics
+        gc = float(metrics["geo_consistency"])
+        assert jnp.isfinite(gc) and gc >= 0.0
+
     def test_flow_loss_automin_no_empty_mask_optimum(self, seq):
         """Regression (r3 review): flow_losses under masking="automin"
         must NOT reward a flow that warps everything out of frame —
