@@ -1,12 +1,28 @@
-"""Mosaic conv-chain bisect, round 2: strictly 2-D (pixels, C)
-activations. Every r1 formulation with 3-D/4-D activations hit "Bad
-lhs type" on the SECOND in-kernel conv (the bug is a second round of
-spatial-op -> reshape -> dot). This variant has NO reshape at all:
-taps are row-offset slices of a zero-padded (P + 2W + 2, C) scratch
-ref, column wrap masked via in-kernel iota, each tap a
-(P, Cin) x (Cin, Cout) dot.
+"""Mosaic conv-chain bisect + fused-kernel candidates, all in strictly
+2-D (pixels, C) activation layout.
 
-Run: tools/dev/tpu_run.sh tools/dev/exp_conv2d_chain.py 1200 2
+Every r1 formulation with 3-D/4-D in-kernel activations hit Mosaic's
+"Bad lhs type" on the SECOND in-kernel conv (the bug is a second round
+of spatial-op -> reshape -> dot). This layout has NO reshape at all:
+activations live as (P, C) matrices, spatial taps are CONTIGUOUS ROW
+SLICES of a zero-padded (P + 2*pad, C) scratch ref (row-major: the
+(dy, dx) tap of pixel p is row p + dy*W + dx), and column wrap is
+masked with iota masks.
+
+Phases (each independently try/except'd so one Mosaic failure still
+lets the rest report):
+  1. bisect: 1/2/3-layer 3x3 chains, small shapes — does the second
+     in-kernel dot compile at all in this layout?
+  2. estimator: the REAL /4 flow-estimator chain (Cin 115 -> 96, 64,
+     32, 2-linear) at production shapes (B=256 folded, 32x104),
+     correctness + timing vs XLA.
+  3. costvol: ALL (2s+1)^2 correlation slices in ONE kernel
+     (elementwise mul + lane reduce per row-sliced tap — NO matmul,
+     so it cannot hit the matmul layout bug), /4 shapes, search=3,
+     C=8 (davo-fast), vs the XLA slice loop. The slice loop is ~33 us
+     dispatch per slice kernel (r2c profile) => ~1.6 ms/level.
+
+Run: tools/dev/tpu_run.sh tools/dev/exp_conv2d_chain.py 2400 3
 """
 
 import os
@@ -26,9 +42,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
 from davo_tpu.utils.profiling import timed
 
+INTERP = jax.default_backend() != "tpu"
 
-def _chain_kernel(*refs, H, W, n_layers):
-    """n_layers of SAME 3x3 stride-1 conv + bias + relu, all in VMEM.
+
+# ---------------------------------------------------------------------------
+# Conv chain kernel (2-D rows layout)
+# ---------------------------------------------------------------------------
+
+def _chain_kernel(*refs, H, W, n_layers, relus):
+    """n_layers of SAME 3x3 stride-1 conv + bias (+ relu), all in VMEM.
 
     refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch]:
     x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
@@ -64,14 +86,18 @@ def _chain_kernel(*refs, H, W, n_layers):
                 acc += jax.lax.dot(
                     tap, w_ref[ky * 3 + kx].astype(jnp.float32)
                 )
-        x = jax.nn.relu(acc + b_ref[0].astype(jnp.float32))
+        x = acc + b_ref[0].astype(jnp.float32)
+        if relus[layer]:
+            x = jax.nn.relu(x)
     out_ref[0] = x.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("H", "W", "n_layers"))
-def conv_chain_pallas(x, weights, biases, H, W, n_layers):
-    """x: (B, P, C0) bf16; weights[i]: (9, Cin, Cout); biases[i]: (1, Cout)."""
+@partial(jax.jit, static_argnames=("H", "W", "n_layers", "relus"))
+def conv_chain_pallas(x, weights, biases, H, W, n_layers, relus=None):
+    """x: (B, P, C0); weights[i]: (9, Cin, Cout); biases[i]: (1, Cout)."""
     B, P, C0 = x.shape
+    if relus is None:
+        relus = (True,) * n_layers
     cmax = max([C0] + [w.shape[2] for w in weights[:n_layers]])
     cout = weights[n_layers - 1].shape[2]
     wb = []
@@ -87,7 +113,7 @@ def conv_chain_pallas(x, weights, biases, H, W, n_layers):
                 )
             )
     return pl.pallas_call(
-        partial(_chain_kernel, H=H, W=W, n_layers=n_layers),
+        partial(_chain_kernel, H=H, W=W, n_layers=n_layers, relus=relus),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, P, C0), lambda b: (b, 0, 0),
@@ -98,11 +124,14 @@ def conv_chain_pallas(x, weights, biases, H, W, n_layers):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, P, cout), x.dtype),
         scratch_shapes=[pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32)],
+        interpret=INTERP,
     )(x, *wb)
 
 
-def xla_chain(img, weights, biases, n_layers):
+def xla_chain(img, weights, biases, n_layers, relus=None):
     """Reference: lax convs on (B, H, W, C)."""
+    if relus is None:
+        relus = (True,) * n_layers
     x = img.astype(jnp.float32)
     for i in range(n_layers):
         w = weights[i].astype(jnp.float32)  # (9, Cin, Cout)
@@ -111,15 +140,76 @@ def xla_chain(img, weights, biases, n_layers):
             x, k, (1, 1), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        x = jax.nn.relu(x + biases[i][0].astype(jnp.float32))
+        x = x + biases[i][0].astype(jnp.float32)
+        if relus[i]:
+            x = jax.nn.relu(x)
     return x
 
 
-def main():
-    print("devices:", jax.devices(), flush=True)
+# ---------------------------------------------------------------------------
+# Cost volume kernel (2-D rows layout; NO matmul anywhere)
+# ---------------------------------------------------------------------------
+
+def _costvol_kernel(f1_ref, f2_ref, out_ref, scratch, *, H, W, search):
+    """All (2s+1)^2 correlation slices in one kernel.
+
+    f1/f2: (1, P, C); out: (1, P, D); scratch: (P + 2*pad, C) with
+    pad = search*W + search (max |row offset|). Out-of-frame f2 = 0
+    (matches the XLA slice loop's zero padding).
+    """
+    P = H * W
+    pad = search * W + search
+    C = f1_ref.shape[2]
+    f1 = f1_ref[0].astype(jnp.float32)  # (P, C)
+    scratch[0:pad, :] = jnp.zeros((pad, C), jnp.float32)
+    scratch[pad : pad + P, :] = f2_ref[0].astype(jnp.float32)
+    scratch[pad + P : 2 * pad + P, :] = jnp.zeros((pad, C), jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
+    cols = []
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            off = pad + dy * W + dx
+            tap = scratch[off : off + P, :]
+            prod = f1 * tap
+            corr = jnp.sum(prod, axis=1, keepdims=True) / C  # (P, 1)
+            # Column wrap: pixel col x is valid iff 0 <= x+dx < W.
+            valid = jnp.logical_and(col >= -dx, col < W - dx)
+            cols.append(jnp.where(valid, corr, 0.0))
+    out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("H", "W", "search"))
+def costvol_pallas_rows(f1, f2, H, W, search):
+    """f1, f2: (B, P, C) -> (B, P, (2s+1)^2)."""
+    B, P, C = f1.shape
+    D = (2 * search + 1) ** 2
+    pad = search * W + search
+    return pl.pallas_call(
+        partial(_costvol_kernel, H=H, W=W, search=search),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, D), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((P + 2 * pad, C), jnp.float32)],
+        interpret=INTERP,
+    )(f1, f2)
+
+
+# ---------------------------------------------------------------------------
+# Phases
+# ---------------------------------------------------------------------------
+
+def phase1_bisect():
+    print("== phase 1: 2-D layout bisect ==", flush=True)
     rng = np.random.default_rng(0)
     B, H, W = 8, 32, 104  # /4 estimator level
-    chans = [115, 96, 64, 32]  # estimator-ish widths
+    chans = [115, 96, 64, 32]
     weights = [
         jnp.asarray(
             rng.normal(0, 0.1, (9, chans[i], chans[i + 1])), jnp.bfloat16
@@ -133,29 +223,125 @@ def main():
     img = jnp.asarray(rng.normal(0, 1, (B, H, W, chans[0])), jnp.bfloat16)
     x2d = img.reshape(B, H * W, chans[0])
 
+    ok = True
     for n_layers in (1, 2, 3):
         try:
             out = jax.block_until_ready(
-                conv_chain_pallas(x2d, weights, biases, H, W, n_layers)
+                conv_chain_pallas(x2d, tuple(weights), tuple(biases), H, W,
+                                  n_layers)
             )
         except Exception as e:
             print(f"{n_layers}-layer chain FAILED: {str(e)[:300]}", flush=True)
+            ok = n_layers < 2 and ok
+            if n_layers >= 2:
+                ok = False
             continue
         ref = xla_chain(img, weights, biases, n_layers)
         got = np.asarray(out, np.float32).reshape(B, H, W, -1)
         err = np.abs(got - np.asarray(ref)).max()
         rel = err / (np.abs(np.asarray(ref)).max() + 1e-6)
-        print(f"{n_layers}-layer chain OK maxerr={err:.3e} rel={rel:.3e}", flush=True)
-        if n_layers == 3:
-            fn = partial(conv_chain_pallas, H=H, W=W, n_layers=3)
-            r_p = timed(fn, x2d, weights, biases, iters=20, loops=5)
-            jx = jax.jit(lambda a: xla_chain(a, weights, biases, 3))
-            jax.block_until_ready(jx(img))
-            r_x = timed(jx, img, iters=20, loops=5)
-            print(
-                f"3-layer timing (B=8): pallas {r_p['ms']:.3f} ms vs XLA {r_x['ms']:.3f} ms",
-                flush=True,
+        print(f"{n_layers}-layer chain OK maxerr={err:.3e} rel={rel:.3e}",
+              flush=True)
+    return ok
+
+
+def phase2_estimator():
+    print("== phase 2: estimator chain at production shapes ==", flush=True)
+    rng = np.random.default_rng(1)
+    B, H, W = 64 if INTERP else 256, 32, 104
+    chans = [115, 96, 64, 32, 2]
+    relus = (True, True, True, False)
+    weights = tuple(
+        jnp.asarray(
+            rng.normal(0, 0.05, (9, chans[i], chans[i + 1])), jnp.bfloat16
+        )
+        for i in range(4)
+    )
+    biases = tuple(
+        jnp.asarray(rng.normal(0, 0.05, (1, chans[i + 1])), jnp.bfloat16)
+        for i in range(4)
+    )
+    img = jnp.asarray(rng.normal(0, 1, (B, H, W, chans[0])), jnp.bfloat16)
+    x2d = img.reshape(B, H * W, chans[0])
+    try:
+        out = jax.block_until_ready(
+            conv_chain_pallas(x2d, weights, biases, H, W, 4, relus)
+        )
+    except Exception as e:
+        print(f"estimator chain FAILED: {str(e)[:300]}", flush=True)
+        return
+    ref = xla_chain(img, weights, biases, 4, relus)
+    err = np.abs(
+        np.asarray(out, np.float32).reshape(B, H, W, -1) - np.asarray(ref)
+    ).max()
+    print(f"estimator chain OK maxerr={err:.3e}", flush=True)
+    if INTERP:
+        return
+    fn = partial(conv_chain_pallas, H=H, W=W, n_layers=4, relus=relus)
+    r_p = timed(fn, x2d, weights, biases, iters=20, loops=5)
+    jx = jax.jit(lambda a: xla_chain(a, weights, biases, 4, relus))
+    jax.block_until_ready(jx(img))
+    r_x = timed(jx, img, iters=20, loops=5)
+    print(
+        f"estimator timing (B={B}): pallas {r_p['ms']:.3f} ms "
+        f"vs XLA {r_x['ms']:.3f} ms",
+        flush=True,
+    )
+
+
+def phase3_costvol():
+    print("== phase 3: one-kernel costvol ==", flush=True)
+    from davo_tpu.models.flownet import cost_volume
+
+    rng = np.random.default_rng(2)
+    search, C = 3, 8
+    for (H, W) in ((32, 104), (16, 52)):
+        B = 32 if INTERP else 256
+        f1 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
+        f1r = f1.reshape(B, H * W, C)
+        f2r = f2.reshape(B, H * W, C)
+        try:
+            out = jax.block_until_ready(
+                costvol_pallas_rows(f1r, f2r, H, W, search)
             )
+        except Exception as e:
+            print(f"costvol {H}x{W} FAILED: {str(e)[:300]}", flush=True)
+            return
+        ref = cost_volume(f1, f2, search)
+        err = np.abs(
+            np.asarray(out).reshape(B, H, W, -1) - np.asarray(ref)
+        ).max()
+        print(f"costvol {H}x{W} OK maxerr={err:.3e}", flush=True)
+        if INTERP:
+            continue
+        fn = partial(costvol_pallas_rows, H=H, W=W, search=search)
+        r_p = timed(fn, f1r, f2r, iters=20, loops=5)
+        jx = jax.jit(lambda a, b: cost_volume(a, b, search))
+        jax.block_until_ready(jx(f1, f2))
+        r_x = timed(jx, f1, f2, iters=20, loops=5)
+        print(
+            f"costvol {H}x{W} timing (B={B}): pallas {r_p['ms']:.3f} ms "
+            f"vs XLA slices {r_x['ms']:.3f} ms",
+            flush=True,
+        )
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    try:
+        ok = phase1_bisect()
+    except Exception as e:
+        print("phase1 crashed:", str(e)[:300], flush=True)
+        ok = False
+    try:
+        phase2_estimator()
+    except Exception as e:
+        print("phase2 crashed:", str(e)[:300], flush=True)
+    try:
+        phase3_costvol()
+    except Exception as e:
+        print("phase3 crashed:", str(e)[:300], flush=True)
 
 
 if __name__ == "__main__":
