@@ -62,7 +62,10 @@ class ModelConfig:
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift
     # channel Gram matmuls on the MXU with strided-slice diagonal
     # extraction; "patches" = one conv_general_dilated_patches op +
-    # one einsum contraction. All produce identical outputs.
+    # one einsum contraction; "pallas_rows" = ALL slices in one Pallas
+    # kernel in 2-D rows layout (no transpose/matmul inside — see
+    # kernels/costvol.py), the r3 candidate for the ~33 us/slice-kernel
+    # dispatch cost. All produce identical outputs.
     costvol_impl: str = "slices"
     # >0: shared learned 1x1 projection of both feature maps to this
     # many channels before correlation (LiteFlowNet-style). The

@@ -236,6 +236,10 @@ class FlowNetLite(nn.Module):
                 cv_fn = cost_volume_scan
             elif self.cfg.costvol_impl == "patches":
                 cv_fn = cost_volume_patches
+            elif self.cfg.costvol_impl == "pallas_rows":
+                from davo_tpu.kernels.costvol import cost_volume_pallas_rows
+
+                cv_fn = cost_volume_pallas_rows
             else:
                 cv_fn = cost_volume
             f1c, f2c = f1, f2w

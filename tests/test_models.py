@@ -213,6 +213,43 @@ class TestFlowNet:
                 np.asarray(got), np.asarray(ref), atol=1e-5
             )
 
+    def test_cost_volume_pallas_rows_matches_slices(self):
+        """One-kernel rows-layout Pallas formulation == slice form
+        (interpret mode on CPU), including non-square dims and odd
+        widths where the column-wrap masks matter."""
+        from davo_tpu.kernels.costvol import cost_volume_pallas_rows
+
+        rng = np.random.default_rng(6)
+        for H, W, C, s in ((8, 8, 32, 2), (6, 26, 16, 4), (5, 13, 8, 3)):
+            f1 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            f2 = jnp.asarray(rng.normal(size=(2, H, W, C)), jnp.float32)
+            ref = cost_volume(f1, f2, search=s)
+            got = cost_volume_pallas_rows(f1, f2, search=s)
+            assert got.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), atol=1e-5
+            )
+
+    def test_flownet_pallas_rows_impl_matches(self, batch):
+        """FlowNetLite(costvol_impl="pallas_rows") == the default
+        program to float tolerance (same params)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, costvol_feat_channels=8)
+        model = FlowNetLite(cfg)
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        ref = model.apply(params, batch["target"], batch["sources"][:, 0])
+        m2 = FlowNetLite(
+            dataclasses.replace(cfg, costvol_impl="pallas_rows")
+        )
+        got = m2.apply(params, batch["target"], batch["sources"][:, 0])
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4
+            )
+
     def test_costvol_projection(self, batch):
         """costvol_feat_channels: shared cv_proj params exist, pyramid
         shapes unchanged, gradients flow through the projection."""
