@@ -78,6 +78,19 @@ def main():
         )
     except Exception as e:
         print("davo pallas_rows FAILED:", str(e)[:300], flush=True)
+    # Cheap config probe: davo-fast with a 3-level pyramid (coarsest
+    # /8). On paper-davo this saved ~10 % (r2c); if it repeats here a
+    # quality gate (e2e tier) decides adoption.
+    bench(
+        "davo-fast (flow_levels=3)",
+        dataclasses.replace(fast, flow_levels=3),
+    )
+    bench(
+        "davo-fast (rows + levels=3)",
+        dataclasses.replace(
+            fast, costvol_impl="pallas_rows", flow_levels=3
+        ),
+    )
 
 
 if __name__ == "__main__":
