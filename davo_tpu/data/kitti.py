@@ -31,7 +31,12 @@ def parse_calib(text: str) -> dict[str, np.ndarray]:
         if ":" not in line:
             continue
         key, vals = line.split(":", 1)
-        arr = np.array(vals.split(), dtype=np.float64)
+        # Tolerate non-numeric lines (e.g. kitti-raw calib_cam_to_cam's
+        # 'calib_time: 09-Jan-2012 13:57:47'), like np.fromstring did.
+        try:
+            arr = np.array(vals.split(), dtype=np.float64)
+        except ValueError:
+            continue
         if arr.size == 12:
             out[key.strip()] = arr.reshape(3, 4)
         elif arr.size:

@@ -21,6 +21,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig
+from davo_tpu.kernels.resize import resize_bilinear_aligned
 from davo_tpu.models.attention import (
     RegionAttention,
     region_weight_map,
@@ -115,16 +116,26 @@ class DavoModel(nn.Module):
                     # (source->target, same net/params — the pair is
                     # just swapped) sampled at the forward-warped
                     # position; |fwd(x) + bwd(x + fwd(x))| ~ 0 iff the
-                    # point is rigid and co-visible. The separable
-                    # (gather-free, MXU) warp is subpixel-accurate on
-                    # these smooth fields and ~20x the gather's speed.
+                    # point is rigid and co-visible. Computed at the
+                    # finest PYRAMID level (/4) — flow_warp_separable's
+                    # own contract (its one-hot weight tensors scale
+                    # with resolution^2: full-res at the reference
+                    # preset would be GBs), then the 1-ch magnitude is
+                    # upsampled. eps under the sqrt: |.| has a NaN
+                    # gradient at exactly-zero residuals, which a
+                    # converged bf16 flow pair reaches in flat regions.
                     from davo_tpu.core.warp import flow_warp_separable
 
                     pyr_b = self.flownet(flat_src, rep_tgt)
-                    flow_b = FlowNetLite.full_res_flow(pyr_b[0], H, W)
-                    flow_b_at_fwd, _ = flow_warp_separable(flow_b, flow_full)
-                    fb_mag = jnp.linalg.norm(
-                        flow_full + flow_b_at_fwd, axis=-1, keepdims=True
+                    fwd4, bwd4 = pyr[0], pyr_b[0]
+                    bwd_at_fwd, _ = flow_warp_separable(bwd4, fwd4)
+                    resid = fwd4 + bwd_at_fwd
+                    fb4 = jnp.sqrt(
+                        jnp.sum(resid * resid, axis=-1, keepdims=True)
+                        + 1e-8
+                    )
+                    fb_mag = resize_bilinear_aligned(fb4, H, W) * (
+                        W / fwd4.shape[2]
                     )
                     attn_in = jnp.concatenate([flow_full, fb_mag], axis=-1)
                 weights = self.attn(attn_in)  # (S*B, K)

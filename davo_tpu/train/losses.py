@@ -180,6 +180,7 @@ def geometry_consistency_loss(
     disp_src_flat: jnp.ndarray,
     poses: jnp.ndarray,
     K: jnp.ndarray,
+    depth_grad_scale: jnp.ndarray | float = 1.0,
 ) -> jnp.ndarray:
     """SC-SfMLearner depth scale-consistency (Bian et al., 2019).
 
@@ -203,6 +204,17 @@ def geometry_consistency_loss(
     B, S = poses.shape[0], poses.shape[1]
     depth_t = disp_to_depth(disp_tgt[..., 0])          # (B, H, W)
     depth_s_all = disp_to_depth(disp_src_flat[..., 0])  # (S*B, H, W)
+    if not (
+        isinstance(depth_grad_scale, float) and depth_grad_scale == 1.0
+    ):
+        # Honor the SAME depth warm-up gate as photometric_loss: a
+        # spatially-flat depth is a global optimum of this term alone,
+        # so ungated it would actively reward the rail-to-cap collapse
+        # the warm-up exists to prevent (r2 TPU bistability).
+        sg_t = jax.lax.stop_gradient(depth_t)
+        depth_t = sg_t + depth_grad_scale * (depth_t - sg_t)
+        sg_s = jax.lax.stop_gradient(depth_s_all)
+        depth_s_all = sg_s + depth_grad_scale * (depth_s_all - sg_s)
     total = 0.0
     for s in range(S):
         T = geo.pose_vec_to_mat(poses[:, s])
@@ -310,7 +322,8 @@ def total_loss(
 
     if tcfg.geo_consistency_weight > 0.0 and "disp_src" in outputs:
         gc = geometry_consistency_loss(
-            outputs["disp"][0], outputs["disp_src"][0], outputs["poses"], K
+            outputs["disp"][0], outputs["disp_src"][0], outputs["poses"], K,
+            depth_grad_scale=dgs,
         )
         loss = loss + tcfg.geo_consistency_weight * gc
         metrics["geo_consistency"] = gc

@@ -103,6 +103,17 @@ class TestKittiIO:
         assert calib["P2"].shape == (3, 4)
         assert calib["P2"][0, 0] == pytest.approx(718.856)
 
+    def test_parse_calib_tolerates_non_numeric_lines(self):
+        """Regression: kitti-raw calib_cam_to_cam.txt opens with
+        'calib_time: 09-Jan-2012 13:57:47' — parse_calib must skip
+        such lines (np.fromstring used to truncate them silently; the
+        strict replacement raised ValueError and broke KittiRaw)."""
+        calib = parse_calib(
+            "calib_time: 09-Jan-2012 13:57:47\n" + KITTI_CALIB
+        )
+        assert "calib_time" not in calib
+        assert calib["P2"][0, 0] == pytest.approx(718.856)
+
     def test_poses_roundtrip(self, rng):
         from davo_tpu.core import geometry as geo
 

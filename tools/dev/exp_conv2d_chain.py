@@ -147,61 +147,6 @@ def xla_chain(img, weights, biases, n_layers, relus=None):
 
 
 # ---------------------------------------------------------------------------
-# Cost volume kernel (2-D rows layout; NO matmul anywhere)
-# ---------------------------------------------------------------------------
-
-def _costvol_kernel(f1_ref, f2_ref, out_ref, scratch, *, H, W, search):
-    """All (2s+1)^2 correlation slices in one kernel.
-
-    f1/f2: (1, P, C); out: (1, P, D); scratch: (P + 2*pad, C) with
-    pad = search*W + search (max |row offset|). Out-of-frame f2 = 0
-    (matches the XLA slice loop's zero padding).
-    """
-    P = H * W
-    pad = search * W + search
-    C = f1_ref.shape[2]
-    f1 = f1_ref[0].astype(jnp.float32)  # (P, C)
-    scratch[0:pad, :] = jnp.zeros((pad, C), jnp.float32)
-    scratch[pad : pad + P, :] = f2_ref[0].astype(jnp.float32)
-    scratch[pad + P : 2 * pad + P, :] = jnp.zeros((pad, C), jnp.float32)
-    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
-    cols = []
-    for dy in range(-search, search + 1):
-        for dx in range(-search, search + 1):
-            off = pad + dy * W + dx
-            tap = scratch[off : off + P, :]
-            prod = f1 * tap
-            corr = jnp.sum(prod, axis=1, keepdims=True) / C  # (P, 1)
-            # Column wrap: pixel col x is valid iff 0 <= x+dx < W.
-            valid = jnp.logical_and(col >= -dx, col < W - dx)
-            cols.append(jnp.where(valid, corr, 0.0))
-    out_ref[0] = jnp.concatenate(cols, axis=1).astype(out_ref.dtype)
-
-
-@partial(jax.jit, static_argnames=("H", "W", "search"))
-def costvol_pallas_rows(f1, f2, H, W, search):
-    """f1, f2: (B, P, C) -> (B, P, (2s+1)^2)."""
-    B, P, C = f1.shape
-    D = (2 * search + 1) ** 2
-    pad = search * W + search
-    return pl.pallas_call(
-        partial(_costvol_kernel, H=H, W=W, search=search),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, C), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, P, D), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, P, D), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((P + 2 * pad, C), jnp.float32)],
-        interpret=INTERP,
-    )(f1, f2)
-
-
-# ---------------------------------------------------------------------------
 # Phases
 # ---------------------------------------------------------------------------
 
@@ -223,7 +168,6 @@ def phase1_bisect():
     img = jnp.asarray(rng.normal(0, 1, (B, H, W, chans[0])), jnp.bfloat16)
     x2d = img.reshape(B, H * W, chans[0])
 
-    ok = True
     for n_layers in (1, 2, 3):
         try:
             out = jax.block_until_ready(
@@ -232,9 +176,6 @@ def phase1_bisect():
             )
         except Exception as e:
             print(f"{n_layers}-layer chain FAILED: {str(e)[:300]}", flush=True)
-            ok = n_layers < 2 and ok
-            if n_layers >= 2:
-                ok = False
             continue
         ref = xla_chain(img, weights, biases, n_layers)
         got = np.asarray(out, np.float32).reshape(B, H, W, -1)
@@ -242,7 +183,6 @@ def phase1_bisect():
         rel = err / (np.abs(np.asarray(ref)).max() + 1e-6)
         print(f"{n_layers}-layer chain OK maxerr={err:.3e} rel={rel:.3e}",
               flush=True)
-    return ok
 
 
 def phase2_estimator():
@@ -291,6 +231,7 @@ def phase2_estimator():
 
 def phase3_costvol():
     print("== phase 3: one-kernel costvol ==", flush=True)
+    from davo_tpu.kernels.costvol import cost_volume_pallas_rows
     from davo_tpu.models.flownet import cost_volume
 
     rng = np.random.default_rng(2)
@@ -299,24 +240,20 @@ def phase3_costvol():
         B = 32 if INTERP else 256
         f1 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
         f2 = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
-        f1r = f1.reshape(B, H * W, C)
-        f2r = f2.reshape(B, H * W, C)
         try:
             out = jax.block_until_ready(
-                costvol_pallas_rows(f1r, f2r, H, W, search)
+                cost_volume_pallas_rows(f1, f2, search)
             )
         except Exception as e:
             print(f"costvol {H}x{W} FAILED: {str(e)[:300]}", flush=True)
             return
         ref = cost_volume(f1, f2, search)
-        err = np.abs(
-            np.asarray(out).reshape(B, H, W, -1) - np.asarray(ref)
-        ).max()
+        err = np.abs(np.asarray(out) - np.asarray(ref)).max()
         print(f"costvol {H}x{W} OK maxerr={err:.3e}", flush=True)
         if INTERP:
             continue
-        fn = partial(costvol_pallas_rows, H=H, W=W, search=search)
-        r_p = timed(fn, f1r, f2r, iters=20, loops=5)
+        fn = partial(cost_volume_pallas_rows, search=search)
+        r_p = timed(fn, f1, f2, iters=20, loops=5)
         jx = jax.jit(lambda a, b: cost_volume(a, b, search))
         jax.block_until_ready(jx(f1, f2))
         r_x = timed(jx, f1, f2, iters=20, loops=5)
@@ -330,10 +267,9 @@ def phase3_costvol():
 def main():
     print("devices:", jax.devices(), flush=True)
     try:
-        ok = phase1_bisect()
+        phase1_bisect()
     except Exception as e:
         print("phase1 crashed:", str(e)[:300], flush=True)
-        ok = False
     try:
         phase2_estimator()
     except Exception as e:
