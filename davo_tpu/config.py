@@ -57,6 +57,13 @@ class ModelConfig:
     # 2717 fps e2e). Off by default until the fused estimator kernel
     # absorbs it (r2).
     use_pallas: bool = False
+    # Serving-only: run each flow estimator's 4-conv chain as ONE
+    # fused Pallas kernel in rows layout (kernels/rowconv.py) instead
+    # of 4 XLA convs. Same parameters either way (init always builds
+    # the XLA tree); pallas_call has no VJP, so keep False for
+    # training. Flag-gated pending hardware validation of the rows
+    # layout (exp_conv2d_chain phases 1-2).
+    fuse_estimator: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift

@@ -1,0 +1,143 @@
+"""Fused stride-1 3x3 conv chains in 2-D rows layout (Pallas TPU).
+
+The r1 multi-layer conv kernel (`conv_stack.py`) is blocked on this
+libtpu by a Mosaic "Bad lhs type" on any SECOND in-kernel
+(spatial op -> reshape -> dot) round. This formulation never reshapes:
+activations live as (P, C) row-major matrices, the (dy, dx) tap of a
+SAME 3x3 conv is the CONTIGUOUS ROW SLICE starting at dy*W + dx of a
+zero-padded VMEM scratch (vertical wrap is naturally correct in
+row-major layout; horizontal wrap is masked with iota masks), and each
+tap is one (P, Cin) x (Cin, Cout) MXU dot.
+
+Whole chains (e.g. the flow estimator's est0->est1->est2->flow head,
+four layers) run as ONE pallas_call: activations never leave VMEM
+between layers, and the ~70 us/kernel dispatch cost (kernels/__init__)
+is paid once instead of per conv.
+
+Forward-only: `pallas_call` has no automatic VJP, so this is a SERVING
+path (`ModelConfig.fuse_estimator`); training uses the XLA lowering
+with identical parameters (equality-tested in tests/test_kernels.py).
+
+STATUS: interpret-validated; hardware validation rides
+tools/dev/exp_conv2d_chain.py (phases 1-2 bisect this exact layout).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _chain_kernel(*refs, height, width, n_layers, relus):
+    """refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch].
+
+    x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
+    scratch (P + 2*(W+1), Cmax) f32 zero-padded activation buffer.
+    """
+    x_ref = refs[0]
+    wb_refs = refs[1 : 1 + 2 * n_layers]
+    out_ref = refs[1 + 2 * n_layers]
+    scratch = refs[2 + 2 * n_layers]
+    P = height * width
+    pad = width + 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
+    mask_l = (col >= 1).astype(jnp.float32)       # dx = -1 valid
+    mask_r = (col < width - 1).astype(jnp.float32)  # dx = +1 valid
+    x = x_ref[0].astype(jnp.float32)  # (P, C0)
+    for layer in range(n_layers):
+        w_ref = wb_refs[2 * layer]
+        b_ref = wb_refs[2 * layer + 1]
+        cin = w_ref.shape[1]
+        cout = w_ref.shape[2]
+        scratch[0:pad, :cin] = jnp.zeros((pad, cin), jnp.float32)
+        scratch[pad : pad + P, :cin] = x
+        scratch[pad + P : 2 * pad + P, :cin] = jnp.zeros(
+            (pad, cin), jnp.float32
+        )
+        acc = jnp.zeros((P, cout), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                off = pad + (ky - 1) * width + (kx - 1)
+                tap = scratch[off : off + P, :cin]
+                if kx == 0:
+                    tap = tap * mask_l
+                elif kx == 2:
+                    tap = tap * mask_r
+                acc += jax.lax.dot(tap, w_ref[ky * 3 + kx])
+        x = acc + b_ref[0]
+        if relus[layer]:
+            x = jax.nn.relu(x)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("relus",))
+def conv_chain_nhwc(
+    x: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    relus: tuple,
+) -> jnp.ndarray:
+    """Run a SAME stride-1 3x3 conv chain as one Pallas kernel.
+
+    x: (B, H, W, Cin); weights[i]: (3, 3, Cin_i, Cout_i) HWIO f32;
+    biases[i]: (Cout_i,); relus[i]: apply ReLU after layer i.
+    Returns (B, H, W, Cout_last) float32. The NHWC<->rows reshapes live
+    outside the kernel where XLA fuses them.
+    """
+    B, H, W, C0 = x.shape
+    P = H * W
+    n_layers = len(relus)
+    cmax = max([C0] + [w.shape[3] for w in weights])
+    cout = weights[-1].shape[3]
+    wb = []
+    wb_specs = []
+    for w, b in zip(weights, biases):
+        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        wb.extend([w9, b.astype(jnp.float32)[None]])
+        for arr in wb[-2:]:
+            wb_specs.append(
+                pl.BlockSpec(
+                    arr.shape,
+                    partial(lambda nd, i: (0,) * nd, arr.ndim),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    flops = 0
+    cin = C0
+    for w in weights:
+        flops += 2 * B * P * 9 * cin * w.shape[3]
+        cin = w.shape[3]
+    out = pl.pallas_call(
+        partial(
+            _chain_kernel, height=H, width=W, n_layers=n_layers,
+            relus=relus,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, P, C0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + wb_specs,
+        out_specs=pl.BlockSpec(
+            (1, P, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, P, cout), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * B * P * (C0 + cout),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x.reshape(B, P, C0), *wb)
+    return out.reshape(B, H, W, cout)

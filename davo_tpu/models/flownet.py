@@ -169,6 +169,26 @@ class FlowEstimator(nn.Module):
             x = ConvBlock(
                 self.cfg.flow_est_bottleneck, 1, 1, dt, name="est_in"
             )(x)
+        if self.cfg.fuse_estimator and not self.is_initializing():
+            # Serving fast path: the whole est0->est1->est2->flow chain
+            # as ONE Pallas kernel (kernels/rowconv.py), reading the
+            # SAME parameters the XLA path trains (equality-tested).
+            # Init still runs the XLA path below so the param tree is
+            # identical; pallas_call has no VJP, so training configs
+            # must keep fuse_estimator=False.
+            from davo_tpu.kernels.rowconv import conv_chain_nhwc
+
+            p = self.variables["params"]
+            ws = tuple(
+                p[f"est{i}"]["Conv_0"]["kernel"] for i in range(3)
+            ) + (p["flow"]["kernel"],)
+            bs = tuple(
+                p[f"est{i}"]["Conv_0"]["bias"] for i in range(3)
+            ) + (p["flow"]["bias"],)
+            delta = conv_chain_nhwc(
+                x.astype(jnp.float32), ws, bs, (True, True, True, False)
+            )
+            return flow_up + delta
         for i, ch in enumerate((96, 64, 32)):
             x = ConvBlock(ch, 3, 1, dt, name=f"est{i}")(x)
         delta = nn.Conv(

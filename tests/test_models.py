@@ -250,6 +250,28 @@ class TestFlowNet:
                 np.asarray(a), np.asarray(b), atol=1e-4
             )
 
+    def test_fuse_estimator_matches_xla_path(self, batch):
+        """fuse_estimator=True (one Pallas kernel per estimator, rows
+        layout) == the XLA conv path on the SAME params, both with and
+        without the 1x1 bottleneck."""
+        import dataclasses
+
+        for extra in ({}, {"flow_est_bottleneck": 48}):
+            cfg = dataclasses.replace(CFG, **extra)
+            model = FlowNetLite(cfg)
+            params = model.init(
+                jax.random.key(0), batch["target"], batch["sources"][:, 0]
+            )
+            ref = model.apply(params, batch["target"], batch["sources"][:, 0])
+            fused = FlowNetLite(
+                dataclasses.replace(cfg, fuse_estimator=True)
+            )
+            got = fused.apply(params, batch["target"], batch["sources"][:, 0])
+            for a, b in zip(ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-3
+                )
+
     def test_costvol_projection(self, batch):
         """costvol_feat_channels: shared cv_proj params exist, pyramid
         shapes unchanged, gradients flow through the projection."""

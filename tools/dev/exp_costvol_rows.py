@@ -78,6 +78,25 @@ def main():
         )
     except Exception as e:
         print("davo pallas_rows FAILED:", str(e)[:300], flush=True)
+    # Fused estimator (one rows-layout Pallas kernel per level) and
+    # the combined all-fused candidate.
+    try:
+        fused_out, _ = bench(
+            "davo-fast (fuse_estimator)",
+            dataclasses.replace(fast, fuse_estimator=True),
+        )
+        print(
+            f"fused-est pose maxerr={np.abs(ref_out - fused_out).max():.3e}",
+            flush=True,
+        )
+        bench(
+            "davo-fast (fused est + rows cv)",
+            dataclasses.replace(
+                fast, fuse_estimator=True, costvol_impl="pallas_rows"
+            ),
+        )
+    except Exception as e:
+        print("fuse_estimator FAILED:", str(e)[:300], flush=True)
     # Cheap config probe: davo-fast with a 3-level pyramid (coarsest
     # /8). On paper-davo this saved ~10 % (r2c); if it repeats here a
     # quality gate (e2e tier) decides adoption.
