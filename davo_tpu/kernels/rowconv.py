@@ -16,7 +16,8 @@ is paid once instead of per conv.
 
 Forward-only: `pallas_call` has no automatic VJP, so this is a SERVING
 path (`ModelConfig.fuse_estimator`); training uses the XLA lowering
-with identical parameters (equality-tested in tests/test_kernels.py).
+with identical parameters (equality-tested in
+tests/test_models.py::TestFlowNet::test_fuse_estimator_matches_xla_path).
 
 STATUS: interpret-validated; hardware validation rides
 tools/dev/exp_conv2d_chain.py (phases 1-2 bisect this exact layout).

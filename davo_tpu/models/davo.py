@@ -129,14 +129,19 @@ class DavoModel(nn.Module):
                     pyr_b = self.flownet(flat_src, rep_tgt)
                     fwd4, bwd4 = pyr[0], pyr_b[0]
                     bwd_at_fwd, _ = flow_warp_separable(bwd4, fwd4)
-                    resid = fwd4 + bwd_at_fwd
+                    # Rescale per axis BEFORE the norm: du scales by
+                    # W/w4 and dv by H/h4, and the ratios differ when
+                    # the /4 stride does not divide the input evenly
+                    # (same hazard full_res_flow documents).
+                    resid = (fwd4 + bwd_at_fwd) * jnp.asarray(
+                        [W / fwd4.shape[2], H / fwd4.shape[1]],
+                        jnp.float32,
+                    )
                     fb4 = jnp.sqrt(
                         jnp.sum(resid * resid, axis=-1, keepdims=True)
                         + 1e-8
                     )
-                    fb_mag = resize_bilinear_aligned(fb4, H, W) * (
-                        W / fwd4.shape[2]
-                    )
+                    fb_mag = resize_bilinear_aligned(fb4, H, W)
                     attn_in = jnp.concatenate([flow_full, fb_mag], axis=-1)
                 weights = self.attn(attn_in)  # (S*B, K)
                 out["attn"] = jnp.moveaxis(

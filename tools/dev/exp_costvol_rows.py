@@ -58,58 +58,61 @@ def bench(tag, cfg):
 def main():
     print("devices:", jax.devices(), flush=True)
     fast = presets.get("davo-fast").model
-    ref_out, ref_ms = bench("davo-fast (slices baseline)", fast)
-    rows_cfg = dataclasses.replace(fast, costvol_impl="pallas_rows")
-    try:
-        got_out, rows_ms = bench("davo-fast (pallas_rows)", rows_cfg)
-    except Exception as e:
-        print("pallas_rows FAILED:", str(e)[:300], flush=True)
-        return
-    err = np.abs(ref_out - got_out).max()
-    print(f"pose equality maxerr={err:.3e}", flush=True)
-    # Paper-parity davo too (search=4, 96-ch correlation: more slices,
-    # bigger win if dispatch-bound).
     davo = presets.get("davo").model
-    _, davo_ms = bench("davo (slices baseline)", davo)
-    try:
-        bench(
+    ref_out, _ = bench("davo-fast (slices baseline)", fast)
+
+    # Every probe is independent: a Mosaic failure in one must not
+    # skip the rest (TPU access is scarce and serialized).
+    probes = [
+        (
+            "davo-fast (pallas_rows)",
+            dataclasses.replace(fast, costvol_impl="pallas_rows"),
+            True,
+        ),
+        ("davo (slices baseline)", davo, False),
+        (
             "davo (pallas_rows)",
             dataclasses.replace(davo, costvol_impl="pallas_rows"),
-        )
-    except Exception as e:
-        print("davo pallas_rows FAILED:", str(e)[:300], flush=True)
-    # Fused estimator (one rows-layout Pallas kernel per level) and
-    # the combined all-fused candidate.
-    try:
-        fused_out, _ = bench(
+            False,
+        ),
+        (
             "davo-fast (fuse_estimator)",
             dataclasses.replace(fast, fuse_estimator=True),
-        )
-        print(
-            f"fused-est pose maxerr={np.abs(ref_out - fused_out).max():.3e}",
-            flush=True,
-        )
-        bench(
+            True,
+        ),
+        (
             "davo-fast (fused est + rows cv)",
             dataclasses.replace(
                 fast, fuse_estimator=True, costvol_impl="pallas_rows"
             ),
-        )
-    except Exception as e:
-        print("fuse_estimator FAILED:", str(e)[:300], flush=True)
-    # Cheap config probe: davo-fast with a 3-level pyramid (coarsest
-    # /8). On paper-davo this saved ~10 % (r2c); if it repeats here a
-    # quality gate (e2e tier) decides adoption.
-    bench(
-        "davo-fast (flow_levels=3)",
-        dataclasses.replace(fast, flow_levels=3),
-    )
-    bench(
-        "davo-fast (rows + levels=3)",
-        dataclasses.replace(
-            fast, costvol_impl="pallas_rows", flow_levels=3
+            True,
         ),
-    )
+        # Cheap config probe: 3-level pyramid saved ~10 % on paper-davo
+        # (r2c); if it repeats, a quality gate (e2e tier) decides.
+        (
+            "davo-fast (flow_levels=3)",
+            dataclasses.replace(fast, flow_levels=3),
+            False,
+        ),
+        (
+            "davo-fast (rows + levels=3)",
+            dataclasses.replace(
+                fast, costvol_impl="pallas_rows", flow_levels=3
+            ),
+            False,
+        ),
+    ]
+    for tag, cfg, check_equal in probes:
+        try:
+            out, _ = bench(tag, cfg)
+        except Exception as e:
+            print(f"{tag} FAILED: {str(e)[:300]}", flush=True)
+            continue
+        if check_equal:
+            print(
+                f"  pose-vs-baseline maxerr={np.abs(ref_out - out).max():.3e}",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
