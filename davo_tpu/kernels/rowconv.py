@@ -38,11 +38,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _chain_kernel(*refs, height, width, n_layers, relus):
+def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
     """refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch].
 
     x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
-    scratch (P + 2*(W+1), Cmax) f32 zero-padded activation buffer.
+    scratch (P + 2*(W+1), Cmax) zero-padded activation buffer in
+    compute_dtype (bf16 doubles the MXU rate; dots accumulate f32
+    either way via preferred_element_type — the known-good Mosaic
+    combination from the r1 bisects).
     """
     x_ref = refs[0]
     wb_refs = refs[1 : 1 + 2 * n_layers]
@@ -51,18 +54,18 @@ def _chain_kernel(*refs, height, width, n_layers, relus):
     P = height * width
     pad = width + 1
     col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
-    mask_l = (col >= 1).astype(jnp.float32)       # dx = -1 valid
-    mask_r = (col < width - 1).astype(jnp.float32)  # dx = +1 valid
-    x = x_ref[0].astype(jnp.float32)  # (P, C0)
+    mask_l = (col >= 1).astype(compute_dtype)       # dx = -1 valid
+    mask_r = (col < width - 1).astype(compute_dtype)  # dx = +1 valid
+    x = x_ref[0].astype(compute_dtype)  # (P, C0)
     for layer in range(n_layers):
         w_ref = wb_refs[2 * layer]
         b_ref = wb_refs[2 * layer + 1]
         cin = w_ref.shape[1]
         cout = w_ref.shape[2]
-        scratch[0:pad, :cin] = jnp.zeros((pad, cin), jnp.float32)
+        scratch[0:pad, :cin] = jnp.zeros((pad, cin), compute_dtype)
         scratch[pad : pad + P, :cin] = x
         scratch[pad + P : 2 * pad + P, :cin] = jnp.zeros(
-            (pad, cin), jnp.float32
+            (pad, cin), compute_dtype
         )
         acc = jnp.zeros((P, cout), jnp.float32)
         for ky in range(3):
@@ -73,30 +76,40 @@ def _chain_kernel(*refs, height, width, n_layers, relus):
                     tap = tap * mask_l
                 elif kx == 2:
                     tap = tap * mask_r
-                acc += jax.lax.dot(tap, w_ref[ky * 3 + kx])
-        x = acc + b_ref[0]
+                acc += jax.lax.dot(
+                    tap,
+                    w_ref[ky * 3 + kx].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+        x = (acc + b_ref[0]).astype(compute_dtype)
         if relus[layer]:
             x = jax.nn.relu(x)
     out_ref[0] = x.astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("relus",))
+@partial(jax.jit, static_argnames=("relus", "compute_dtype_name"))
 def conv_chain_nhwc(
     x: jnp.ndarray,
     weights: Sequence[jnp.ndarray],
     biases: Sequence[jnp.ndarray],
     relus: tuple,
+    compute_dtype_name: str = "bfloat16",
 ) -> jnp.ndarray:
     """Run a SAME stride-1 3x3 conv chain as one Pallas kernel.
 
     x: (B, H, W, Cin); weights[i]: (3, 3, Cin_i, Cout_i) HWIO f32;
     biases[i]: (Cout_i,); relus[i]: apply ReLU after layer i.
+    compute_dtype_name: in-kernel operand dtype — "bfloat16" (default,
+    matches ConvBlock's MXU dtype; f32 accumulation) or "float32".
     Returns (B, H, W, Cout_last) float32. The NHWC<->rows reshapes live
     outside the kernel where XLA fuses them.
     """
     B, H, W, C0 = x.shape
     P = H * W
     n_layers = len(relus)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
     cmax = max([C0] + [w.shape[3] for w in weights])
     cout = weights[-1].shape[3]
     wb = []
@@ -120,7 +133,7 @@ def conv_chain_nhwc(
     out = pl.pallas_call(
         partial(
             _chain_kernel, height=H, width=W, n_layers=n_layers,
-            relus=relus,
+            relus=relus, compute_dtype=compute_dtype,
         ),
         grid=(B,),
         in_specs=[
@@ -133,7 +146,7 @@ def conv_chain_nhwc(
             (1, P, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, P, cout), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((P + 2 * (W + 1), cmax), compute_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=4 * B * P * (C0 + cout),

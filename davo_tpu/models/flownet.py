@@ -186,7 +186,8 @@ class FlowEstimator(nn.Module):
                 p[f"est{i}"]["Conv_0"]["bias"] for i in range(3)
             ) + (p["flow"]["bias"],)
             delta = conv_chain_nhwc(
-                x.astype(jnp.float32), ws, bs, (True, True, True, False)
+                x, ws, bs, (True, True, True, False),
+                compute_dtype_name=self.cfg.compute_dtype,
             )
             return flow_up + delta
         for i, ch in enumerate((96, 64, 32)):

@@ -129,16 +129,22 @@ def phase2_estimator():
     print(f"estimator chain OK maxerr={err:.3e}", flush=True)
     if INTERP:
         return
-    fn = partial(conv_chain_nhwc, relus=relus)
-    r_p = timed(fn, img, weights, biases, iters=20, loops=5)
     jx = jax.jit(lambda a: xla_chain(a, weights, biases, 4, relus))
     jax.block_until_ready(jx(img))
     r_x = timed(jx, img, iters=20, loops=5)
-    print(
-        f"estimator timing (B={B}): pallas {r_p['ms']:.3f} ms "
-        f"vs XLA {r_x['ms']:.3f} ms",
-        flush=True,
-    )
+    for cd in ("bfloat16", "float32"):
+        fn = partial(conv_chain_nhwc, relus=relus, compute_dtype_name=cd)
+        try:
+            jax.block_until_ready(fn(img, weights, biases))
+        except Exception as e:
+            print(f"estimator {cd} FAILED: {str(e)[:200]}", flush=True)
+            continue
+        r_p = timed(fn, img, weights, biases, iters=20, loops=5)
+        print(
+            f"estimator timing (B={B}, {cd}): pallas {r_p['ms']:.3f} ms "
+            f"vs XLA {r_x['ms']:.3f} ms",
+            flush=True,
+        )
 
 
 def phase3_costvol():
