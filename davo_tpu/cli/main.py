@@ -82,16 +82,18 @@ def cmd_train(args) -> int:
             cfg, train=dataclasses.replace(cfg.train, max_steps=args.steps)
         )
 
-    if cfg.model.fuse_estimator and cfg.model.attention != "none":
+    if (
+        cfg.model.fuse_estimator or cfg.model.fuse_flow_level
+    ) and cfg.model.attention != "none":
         # Serving-only flag: the fused Pallas estimator has no VJP, so
         # a grad-traced train step dies with a cryptic pallas
         # differentiation error deep in JAX — fail with a named error
         # instead (config.py fuse_estimator note).
         print(
-            "model.fuse_estimator is a serving-only fast path "
-            "(pallas_call has no VJP); train with "
-            "--set model.fuse_estimator=false and enable it for "
-            "infer/depth/export", file=sys.stderr,
+            "model.fuse_estimator / model.fuse_flow_level are "
+            "serving-only fast paths (pallas_call has no VJP); train "
+            "with them false and enable them for infer/depth/export",
+            file=sys.stderr,
         )
         return 1
 

@@ -64,6 +64,13 @@ class ModelConfig:
     # training. Flag-gated pending hardware validation of the rows
     # layout (exp_conv2d_chain phases 1-2).
     fuse_estimator: bool = False
+    # Serving-only, one step further: the WHOLE flow level — cost
+    # volume + ReLU + concat + estimator chain — as one Pallas kernel
+    # per level (kernels/rowconv.flow_level_fused), ~55 dispatches ->
+    # 1 at search=3. Same param tree; no VJP; requires
+    # flow_est_bottleneck == 0. Supersedes fuse_estimator +
+    # costvol_impl="pallas_rows" when set.
+    fuse_flow_level: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift

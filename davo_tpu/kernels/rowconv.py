@@ -87,6 +87,178 @@ def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
     out_ref[0] = x.astype(out_ref.dtype)
 
 
+def _flow_level_kernel(
+    *refs, height, width, search, n_layers, relus, compute_dtype
+):
+    """Cost volume + ReLU + concat + estimator conv chain, one kernel.
+
+    refs = [f1, f2, feat, flow_up, (w, b) * n_layers, out,
+            cv_scratch, chain_scratch]:
+    f1/f2 (1, P, C) correlation features (f2 pre-warped outside);
+    feat (1, P, Cf); flow_up (1, P, 2); out (1, P, 2) = delta.
+    cv_scratch (P + 2*(search*W+search), C) f32;
+    chain_scratch (P + 2*(W+1), Cmax) compute_dtype.
+    """
+    f1_ref, f2_ref, feat_ref, flow_ref = refs[:4]
+    wb_refs = refs[4 : 4 + 2 * n_layers]
+    out_ref = refs[4 + 2 * n_layers]
+    cv_scratch = refs[5 + 2 * n_layers]
+    scratch = refs[6 + 2 * n_layers]
+    P = height * width
+    C = f1_ref.shape[2]
+
+    # --- cost volume (rows layout, matmul-free; kernels/costvol.py) ---
+    pad_cv = search * width + search
+    f1 = f1_ref[0].astype(jnp.float32)
+    cv_scratch[0:pad_cv, :] = jnp.zeros((pad_cv, C), jnp.float32)
+    cv_scratch[pad_cv : pad_cv + P, :] = f2_ref[0].astype(jnp.float32)
+    cv_scratch[pad_cv + P : 2 * pad_cv + P, :] = jnp.zeros(
+        (pad_cv, C), jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
+    cols = []
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            off = pad_cv + dy * width + dx
+            tap = cv_scratch[off : off + P, :]
+            corr = jnp.sum(f1 * tap, axis=1, keepdims=True) / C
+            valid = jnp.logical_and(col >= -dx, col < width - dx)
+            cols.append(jnp.where(valid, jnp.maximum(corr, 0.0), 0.0))
+
+    # --- estimator input: concat([relu(cv), feat, flow_up], ch) ---
+    x = jnp.concatenate(
+        cols
+        + [
+            feat_ref[0].astype(jnp.float32),
+            flow_ref[0].astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(compute_dtype)
+
+    # --- conv chain (same tap scheme as _chain_kernel) ---
+    pad = width + 1
+    mask_l = (col >= 1).astype(compute_dtype)
+    mask_r = (col < width - 1).astype(compute_dtype)
+    for layer in range(n_layers):
+        w_ref = wb_refs[2 * layer]
+        b_ref = wb_refs[2 * layer + 1]
+        cin = w_ref.shape[1]
+        cout = w_ref.shape[2]
+        scratch[0:pad, :cin] = jnp.zeros((pad, cin), compute_dtype)
+        scratch[pad : pad + P, :cin] = x
+        scratch[pad + P : 2 * pad + P, :cin] = jnp.zeros(
+            (pad, cin), compute_dtype
+        )
+        acc = jnp.zeros((P, cout), jnp.float32)
+        for ky in range(3):
+            for kx in range(3):
+                off = pad + (ky - 1) * width + (kx - 1)
+                tap = scratch[off : off + P, :cin]
+                if kx == 0:
+                    tap = tap * mask_l
+                elif kx == 2:
+                    tap = tap * mask_r
+                acc += jax.lax.dot(
+                    tap,
+                    w_ref[ky * 3 + kx].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                )
+        x = (acc + b_ref[0]).astype(compute_dtype)
+        if relus[layer]:
+            x = jax.nn.relu(x)
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("search", "relus", "compute_dtype_name"))
+def flow_level_fused(
+    f1: jnp.ndarray,
+    f2: jnp.ndarray,
+    feat: jnp.ndarray,
+    flow_up: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    search: int,
+    relus: tuple,
+    compute_dtype_name: str = "bfloat16",
+) -> jnp.ndarray:
+    """One flow-pyramid level as ONE Pallas kernel.
+
+    Covers relu(cost_volume(f1, f2, search)) -> concat with feat +
+    flow_up -> the estimator conv chain; returns the DELTA flow
+    (B, H, W, Cout_last) f32 (caller adds flow_up, mirroring
+    FlowEstimator). Replaces ~(2s+1)^2 slice kernels + concat + 4
+    convs (~55 dispatches/level at search=3) with one.
+    f1/f2: (B, H, W, C) (f2 pre-warped); feat: (B, H, W, Cf);
+    flow_up: (B, H, W, 2); weights[i]: (3, 3, Cin_i, Cout_i) HWIO.
+    """
+    B, H, W, C = f1.shape
+    P = H * W
+    D = (2 * search + 1) ** 2
+    n_layers = len(relus)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    cin0 = D + feat.shape[3] + flow_up.shape[3]
+    assert weights[0].shape[2] == cin0, (weights[0].shape, cin0)
+    cmax = max([cin0] + [w.shape[3] for w in weights])
+    cout = weights[-1].shape[3]
+    pad_cv = search * W + search
+    wb = []
+    wb_specs = []
+    for w, b in zip(weights, biases):
+        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        wb.extend([w9, b.astype(jnp.float32)[None]])
+        for arr in wb[-2:]:
+            wb_specs.append(
+                pl.BlockSpec(
+                    arr.shape,
+                    partial(lambda nd, i: (0,) * nd, arr.ndim),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    flops = 2 * B * D * P * C
+    cin = cin0
+    for w in weights:
+        flops += 2 * B * P * 9 * cin * w.shape[3]
+        cin = w.shape[3]
+    out = pl.pallas_call(
+        partial(
+            _flow_level_kernel, height=H, width=W, search=search,
+            n_layers=n_layers, relus=relus, compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, P, a.shape[-1]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for a in (f1, f2, feat, flow_up)
+        ]
+        + wb_specs,
+        out_specs=pl.BlockSpec(
+            (1, P, cout), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, P, cout), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((P + 2 * pad_cv, C), jnp.float32),
+            pltpu.VMEM((P + 2 * (W + 1), cmax), compute_dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * B * P * (2 * C + feat.shape[3] + 2 + cout),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        f1.reshape(B, P, C),
+        f2.reshape(B, P, C),
+        feat.reshape(B, P, feat.shape[3]),
+        flow_up.reshape(B, P, flow_up.shape[3]),
+        *wb,
+    )
+    return out.reshape(B, H, W, cout)
+
+
 @partial(jax.jit, static_argnames=("relus", "compute_dtype_name"))
 def conv_chain_nhwc(
     x: jnp.ndarray,

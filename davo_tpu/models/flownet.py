@@ -270,10 +270,39 @@ class FlowNetLite(nn.Module):
                 # subspace).
                 proj = self.cv_projs[level - 1]
                 f1c, f2c = proj(f1), proj(f2w)
-            cv = nn.relu(
-                cv_fn(f1c.astype(jnp.float32), f2c.astype(jnp.float32), search)
-            )
-            flow = self.estimators[level - 1](cv, f1, flow_up)
+            if (
+                self.cfg.fuse_flow_level
+                and not self.is_initializing()
+                and self.cfg.flow_est_bottleneck == 0
+            ):
+                # Serving fast path: costvol + relu + concat + the
+                # whole estimator chain as ONE kernel for this level
+                # (kernels/rowconv.flow_level_fused), reading the same
+                # params the XLA path trains. No VJP — serving only.
+                from davo_tpu.kernels.rowconv import flow_level_fused
+
+                p = self.variables["params"][f"estimator{level}"]
+                ws = tuple(
+                    p[f"est{i}"]["Conv_0"]["kernel"] for i in range(3)
+                ) + (p["flow"]["kernel"],)
+                bs = tuple(
+                    p[f"est{i}"]["Conv_0"]["bias"] for i in range(3)
+                ) + (p["flow"]["bias"],)
+                delta = flow_level_fused(
+                    f1c, f2c, f1, flow_up, ws, bs, search,
+                    (True, True, True, False),
+                    compute_dtype_name=self.cfg.compute_dtype,
+                )
+                flow = flow_up + delta
+            else:
+                cv = nn.relu(
+                    cv_fn(
+                        f1c.astype(jnp.float32),
+                        f2c.astype(jnp.float32),
+                        search,
+                    )
+                )
+                flow = self.estimators[level - 1](cv, f1, flow_up)
             flows.append(flow)
         return flows[::-1]  # fine (/4) first
 

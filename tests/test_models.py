@@ -272,6 +272,28 @@ class TestFlowNet:
                     np.asarray(a), np.asarray(b), atol=5e-3
                 )
 
+    def test_fuse_flow_level_matches_xla_path(self, batch):
+        """fuse_flow_level=True (costvol + relu + concat + estimator
+        chain as ONE kernel per level) == the XLA path on the same
+        params, with and without the learned correlation projection."""
+        import dataclasses
+
+        for extra in ({}, {"costvol_feat_channels": 8}):
+            cfg = dataclasses.replace(CFG, **extra)
+            model = FlowNetLite(cfg)
+            params = model.init(
+                jax.random.key(0), batch["target"], batch["sources"][:, 0]
+            )
+            ref = model.apply(params, batch["target"], batch["sources"][:, 0])
+            fused = FlowNetLite(
+                dataclasses.replace(cfg, fuse_flow_level=True)
+            )
+            got = fused.apply(params, batch["target"], batch["sources"][:, 0])
+            for a, b in zip(ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-3
+                )
+
     def test_costvol_projection(self, batch):
         """costvol_feat_channels: shared cv_proj params exist, pyramid
         shapes unchanged, gradients flow through the projection."""

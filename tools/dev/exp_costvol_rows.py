@@ -87,6 +87,16 @@ def main():
             ),
             True,
         ),
+        (
+            "davo-fast (fuse_flow_level)",
+            dataclasses.replace(fast, fuse_flow_level=True),
+            True,
+        ),
+        (
+            "davo (fuse_flow_level)",
+            dataclasses.replace(davo, fuse_flow_level=True),
+            False,
+        ),
         # Cheap config probe: 3-level pyramid saved ~10 % on paper-davo
         # (r2c); if it repeats, a quality gate (e2e tier) decides.
         (
