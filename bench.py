@@ -49,7 +49,20 @@ def main() -> None:
     # correlation projection, search range 3). The paper-parity `davo`
     # preset (search=4, no projection) measures 14.4 ms vs 10.1 ms at
     # B=128 — both ladders recorded in R2_RESULTS.md.
-    cfg = presets.get("davo-fast").model
+    full_cfg = presets.get("davo-fast")
+    # Hardware-validated serving overrides (fused Pallas paths): written
+    # ONLY by tools/dev/update_bench_flags.py after the candidate ran,
+    # matched the XLA baseline, and won throughput on the real chip —
+    # bench never risks an unvalidated compile at round end.
+    flags_path = os.path.join(os.path.dirname(__file__), "BENCH_FLAGS.json")
+    if os.path.exists(flags_path):
+        with open(flags_path) as f:
+            flags = json.load(f)
+        if flags.get("validated_on") == "tpu":
+            from davo_tpu.config import apply_overrides
+
+            full_cfg = apply_overrides(full_cfg, flags["overrides"])
+    cfg = full_cfg.model
     model = DavoModel(cfg)
     rng = np.random.default_rng(0)
     H, W = cfg.img_height, cfg.img_width

@@ -259,6 +259,220 @@ def flow_level_fused(
     return out.reshape(B, H, W, cout)
 
 
+def _s2d_rows(x, H, W, C):
+    """Space-to-depth of a rows-layout (H*W, C) value -> (H/2*W/2, 4C).
+
+    Channel plane order [ee, eo, oe, oo] (row parity major). Pure
+    contiguous merge-reshapes + column slices: row-major flattening
+    packs pixel (2q, 2q+1) channel pairs, then image-row pairs, so no
+    gather/transpose is needed. Requires even H, W.
+    """
+    W2, H2 = W // 2, H // 2
+    x2 = x.reshape(H2, 2 * W2 * 2 * C)
+    even = x2[:, : W2 * 2 * C].reshape(H2 * W2, 2 * C)
+    odd = x2[:, W2 * 2 * C :].reshape(H2 * W2, 2 * C)
+    return jnp.concatenate([even, odd], axis=1)
+
+
+def _same_pad_low(size: int, k: int, stride: int) -> int:
+    """XLA SAME low padding (flax nn.Conv convention)."""
+    out = -(-size // stride)
+    total = max((out - 1) * stride + k - size, 0)
+    return total // 2
+
+
+def s2d_weights(w: jnp.ndarray, pad_low: int):
+    """Remap (k, k, Cin, Cout) stride-2 SAME weights onto the s2d grid.
+
+    A stride-2 tap at full-res offset d = dy - pad_low lands on s2d
+    window row d // 2, input plane parity d % 2 (floor semantics), so
+    the conv becomes a stride-1 window conv over the (H/2, W/2, 4Cin)
+    s2d tensor. Returns (win*win, 4Cin, Cout) weights (zeros where no
+    full-res tap maps) plus the window offset range [lo, hi].
+    """
+    k, _, cin, cout = w.shape
+    lo = (0 - pad_low) // 2
+    hi = (k - 1 - pad_low) // 2
+    win = hi - lo + 1
+    w2 = jnp.zeros((win, win, 4 * cin, cout), w.dtype)
+    for dy in range(k):
+        wy, py = (dy - pad_low) // 2, (dy - pad_low) % 2
+        for dx in range(k):
+            wx, px = (dx - pad_low) // 2, (dx - pad_low) % 2
+            plane = py * 2 + px
+            w2 = w2.at[
+                wy - lo, wx - lo, plane * cin : (plane + 1) * cin, :
+            ].set(w[dy, dx])
+    return w2.reshape(win * win, 4 * cin, cout), lo, hi
+
+
+def _strided_chain_kernel(*refs, height, width, geoms, relus, compute_dtype):
+    """refs = [x_ref, (w_ref, b_ref) * n, out_ref, scratch * n].
+
+    (height, width) is the kernel input resolution; geoms[i] =
+    (H, W, stride, win_lo, win_hi, pad_b) for layer i, at the layer's
+    POST-s2d resolution (H, W) when stride == 2. Taps are contiguous
+    row slices of the layer's own exactly-sized scratch; horizontal
+    validity is masked per window column offset.
+    """
+    n_layers = len(geoms)
+    x_ref = refs[0]
+    wb_refs = refs[1 : 1 + 2 * n_layers]
+    out_ref = refs[1 + 2 * n_layers]
+    scratches = refs[2 + 2 * n_layers :]
+    x = x_ref[0].astype(compute_dtype)
+    H_in, W_in = height, width
+    for layer in range(n_layers):
+        H, W, stride, win_lo, win_hi, pad_b = geoms[layer]
+        if stride == 2:
+            x = _s2d_rows(x, H_in, W_in, x.shape[-1])
+        P = H * W
+        scratch = scratches[layer]
+        w_ref = wb_refs[2 * layer]
+        b_ref = wb_refs[2 * layer + 1]
+        cin = w_ref.shape[1]
+        cout = w_ref.shape[2]
+        win = win_hi - win_lo + 1
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
+        scratch[0:pad_b, :] = jnp.zeros((pad_b, cin), compute_dtype)
+        scratch[pad_b : pad_b + P, :] = x
+        pad_a = scratch.shape[0] - pad_b - P
+        scratch[pad_b + P :, :] = jnp.zeros((pad_a, cin), compute_dtype)
+        acc = jnp.zeros((P, cout), jnp.float32)
+        for wy in range(win_lo, win_hi + 1):
+            for wx in range(win_lo, win_hi + 1):
+                off = pad_b + wy * W + wx
+                tap = scratch[off : off + P, :]
+                if wx != 0:
+                    mask = jnp.logical_and(
+                        col >= -wx, col < W - wx
+                    ).astype(compute_dtype)
+                    tap = tap * mask
+                acc += jax.lax.dot(
+                    tap,
+                    w_ref[(wy - win_lo) * win + (wx - win_lo)].astype(
+                        compute_dtype
+                    ),
+                    preferred_element_type=jnp.float32,
+                )
+        x = (acc + b_ref[0]).astype(compute_dtype)
+        if relus[layer]:
+            x = jax.nn.relu(x)
+        H_in, W_in = H, W
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+@partial(
+    jax.jit, static_argnames=("strides", "relus", "compute_dtype_name")
+)
+def conv_chain_strided(
+    x: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    strides: tuple,
+    relus: tuple,
+    compute_dtype_name: str = "bfloat16",
+) -> jnp.ndarray:
+    """Fused mixed-stride SAME conv chain as ONE Pallas kernel.
+
+    Generalizes `conv_chain_nhwc` to stride-2 layers and any odd kernel
+    size (the PoseEncoder's 7/5/3 stack, the RegionAttention conv
+    stack, the flow feature pyramid): a stride-2 layer space-to-depths
+    its input in-kernel (contiguous merge-reshapes, `_s2d_rows`) and
+    runs as a stride-1 window conv over the (H/2, W/2, 4Cin) grid with
+    host-remapped weights (`s2d_weights`) — numerically exact vs XLA's
+    stride-2 SAME conv, ~1.3-1.8x the taps' FLOPs (zero-filled window
+    slots), everything still contiguous-row-slice + MXU dot.
+
+    x: (B, H, W, C0); weights[i]: (k_i, k_i, Cin_i, Cout_i) HWIO f32;
+    strides[i] in {1, 2}; stride-2 layers require even input H, W
+    (fuse the even prefix of a net; run the tail via XLA).
+    Returns (B, H_out, W_out, Cout_last) f32. Forward-only (serving).
+
+    STATUS: interpret-validated (tests/test_kernels.py); hardware
+    validation rides exp_conv2d_chain.py phase 4.
+    """
+    B, H, W, C0 = x.shape
+    n_layers = len(relus)
+    assert len(weights) == len(biases) == len(strides) == n_layers
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    geoms = []
+    wb = []
+    scratch_shapes = []
+    h, w_dim = H, W
+    for i, (wt, stride) in enumerate(zip(weights, strides)):
+        k = wt.shape[0]
+        if stride == 2:
+            if h % 2 or w_dim % 2:
+                raise ValueError(
+                    f"stride-2 layer {i} needs even dims, got {h}x{w_dim}"
+                )
+            padl = _same_pad_low(h, k, 2)
+            w9, lo, hi = s2d_weights(wt.astype(jnp.float32), padl)
+            h, w_dim = h // 2, w_dim // 2
+        else:
+            padl = (k - 1) // 2
+            lo, hi = -padl, k - 1 - padl
+            w9 = wt.astype(jnp.float32).reshape(
+                k * k, wt.shape[2], wt.shape[3]
+            )
+        pad_b = max(0, -lo) * (w_dim + 1)
+        pad_a = max(0, hi) * (w_dim + 1)
+        P_i = h * w_dim
+        geoms.append((h, w_dim, stride, lo, hi, pad_b))
+        scratch_shapes.append(
+            pltpu.VMEM((P_i + pad_b + pad_a, w9.shape[1]), compute_dtype)
+        )
+        wb.extend([w9, biases[i].astype(jnp.float32)[None]])
+    wb_specs = [
+        pl.BlockSpec(
+            arr.shape,
+            partial(lambda nd, i: (0,) * nd, arr.ndim),
+            memory_space=pltpu.VMEM,
+        )
+        for arr in wb
+    ]
+    cout = weights[-1].shape[3]
+    flops = 0
+    for g, wt in zip(geoms, weights):
+        # s2d layers: win^2 * 4Cin effective taps (incl. zero slots).
+        win = g[4] - g[3] + 1
+        cin_eff = wt.shape[2] * (4 if g[2] == 2 else 1)
+        flops += 2 * B * g[0] * g[1] * win * win * cin_eff * wt.shape[3]
+    out = pl.pallas_call(
+        partial(
+            _strided_chain_kernel, height=H, width=W,
+            geoms=tuple(geoms), relus=relus, compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, H * W, C0), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + wb_specs,
+        out_specs=pl.BlockSpec(
+            (1, geoms[-1][0] * geoms[-1][1], cout),
+            lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, geoms[-1][0] * geoms[-1][1], cout), jnp.float32
+        ),
+        scratch_shapes=scratch_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=4 * B * (H * W * C0 + geoms[-1][0] * geoms[-1][1] * cout),
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(x.reshape(B, H * W, C0), *wb)
+    return out.reshape(B, geoms[-1][0], geoms[-1][1], cout)
+
+
 @partial(jax.jit, static_argnames=("relus", "compute_dtype_name"))
 def conv_chain_nhwc(
     x: jnp.ndarray,

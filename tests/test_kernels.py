@@ -129,3 +129,119 @@ class TestFusedConvStack:
         assert same_pads(128, 3, 2) == (64, 0, 1)
         assert same_pads(13, 3, 2) == (7, 1, 1)
         assert same_pads(416, 7, 2) == (208, 2, 3)
+
+
+class TestStridedRowChain:
+    """conv_chain_strided (rows-layout s2d formulation) vs XLA."""
+
+    def _xla_stack(self, x, weights, biases, strides, relus=None):
+        if relus is None:
+            relus = (True,) * len(weights)
+        y = x.astype(jnp.float32)
+        for w, b, s, r in zip(weights, biases, strides, relus):
+            y = jax.lax.conv_general_dilated(
+                y, w, (s, s), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            y = y + b
+            if r:
+                y = jax.nn.relu(y)
+        return y
+
+    def _make(self, rng, ks, chans, cin):
+        ws, bs = [], []
+        for k, c in zip(ks, chans):
+            ws.append(
+                jnp.asarray(
+                    rng.normal(size=(k, k, cin, c)) / np.sqrt(k * k * cin),
+                    jnp.float32,
+                )
+            )
+            bs.append(jnp.asarray(rng.normal(size=(c,)) * 0.01, jnp.float32))
+            cin = c
+        return tuple(ws), tuple(bs)
+
+    def test_single_stride2_k3(self, rng):
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(2, 8, 12, 4)), jnp.float32)
+        ws, bs = self._make(rng, (3,), (8,), 4)
+        want = self._xla_stack(x, ws, bs, (2,))
+        got = conv_chain_strided(
+            x, ws, bs, (2,), (True,), compute_dtype_name="float32"
+        )
+        assert got.shape == want.shape == (2, 4, 6, 8)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_single_stride2_k7(self, rng):
+        """7x7 stride-2 (PoseEncoder stem): 4x4 s2d window, asymmetric."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(2, 16, 24, 6)), jnp.float32)
+        ws, bs = self._make(rng, (7,), (8,), 6)
+        want = self._xla_stack(x, ws, bs, (2,))
+        got = conv_chain_strided(
+            x, ws, bs, (2,), (True,), compute_dtype_name="float32"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_mixed_stride_chain(self, rng):
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(2, 16, 16, 4)), jnp.float32)
+        ws, bs = self._make(rng, (3, 3, 3), (8, 8, 12), 4)
+        want = self._xla_stack(x, ws, bs, (2, 1, 2))
+        got = conv_chain_strided(
+            x, ws, bs, (2, 1, 2), (True, True, True),
+            compute_dtype_name="float32",
+        )
+        assert got.shape == want.shape == (2, 4, 4, 12)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_pose_encoder_prefix_shapes(self, rng):
+        """The 5-layer fusable PoseEncoder prefix (7/5/3/3/3, all s2)
+        at a reduced resolution with the production channel ladder."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(1, 32, 64, 8)), jnp.float32)
+        ws, bs = self._make(rng, (7, 5, 3, 3, 3), (16, 32, 64, 128, 256), 8)
+        want = self._xla_stack(x, ws, bs, (2,) * 5)
+        got = conv_chain_strided(
+            x, ws, bs, (2,) * 5, (True,) * 5, compute_dtype_name="float32"
+        )
+        assert got.shape == want.shape == (1, 1, 2, 256)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_attention_stack(self, rng):
+        """RegionAttention's 3x stride-2 conv stack, no-relu tail."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(2, 16, 24, 4)), jnp.float32)
+        ws, bs = self._make(rng, (3, 3, 3), (16, 32, 64), 4)
+        want = self._xla_stack(x, ws, bs, (2, 2, 2), (True, True, False))
+        got = conv_chain_strided(
+            x, ws, bs, (2, 2, 2), (True, True, False),
+            compute_dtype_name="float32",
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_odd_dim_rejected(self, rng):
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(1, 8, 13, 4)), jnp.float32)
+        ws, bs = self._make(rng, (3,), (8,), 4)
+        with pytest.raises(ValueError, match="even dims"):
+            conv_chain_strided(
+                x, ws, bs, (2,), (True,), compute_dtype_name="float32"
+            )

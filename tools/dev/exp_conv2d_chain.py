@@ -21,6 +21,11 @@ lets the rest report):
      so it cannot hit the matmul layout bug), /4 shapes, search=3,
      C=8 (davo-fast), vs the XLA slice loop. The slice loop is ~33 us
      dispatch per slice kernel (r2c profile) => ~1.6 ms/level.
+  4. stride-2 s2d chains (conv_chain_strided): the in-kernel
+     space-to-depth needs value merge-reshapes, the one op class the
+     r1 landmine list flags — bisected from s2d-alone (no dot) up to
+     the 5-layer PoseEncoder prefix and the RegionAttention stack at
+     production shapes, each timed vs XLA.
 
 Run: tools/dev/tpu_run.sh tools/dev/exp_conv2d_chain.py 2400 3
 """
@@ -182,6 +187,134 @@ def phase3_costvol():
         )
 
 
+def xla_strided(img, weights, biases, strides, relus):
+    x = img.astype(jnp.float32)
+    for w, b, s, r in zip(weights, biases, strides, relus):
+        x = jax.lax.conv_general_dilated(
+            x, w.astype(jnp.float32), (s, s), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        x = x + b.astype(jnp.float32)
+        if r:
+            x = jax.nn.relu(x)
+    return x
+
+
+def phase4_strided():
+    print("== phase 4: stride-2 s2d chains ==", flush=True)
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from davo_tpu.kernels.rowconv import _s2d_rows, conv_chain_strided
+
+    rng = np.random.default_rng(3)
+
+    # --- 4a: s2d alone (merge-reshapes + slices + concat, NO dot) ---
+    B, H, W, C = 4, 16, 24, 8
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, C)), jnp.float32)
+
+    def s2d_kernel(x_ref, o_ref):
+        o_ref[0] = _s2d_rows(x_ref[0], H, W, C)
+
+    try:
+        got = pl.pallas_call(
+            s2d_kernel,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, H * W, C), lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (1, H * W // 4, 4 * C), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (B, H * W // 4, 4 * C), jnp.float32
+            ),
+            interpret=INTERP,
+        )(x.reshape(B, H * W, C))
+        # reference: [ee, eo, oe, oo] plane order
+        v = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        ref = jnp.concatenate(
+            [v[:, :, 0, :, 0], v[:, :, 0, :, 1], v[:, :, 1, :, 0],
+             v[:, :, 1, :, 1]],
+            axis=-1,
+        ).reshape(B, H * W // 4, 4 * C)
+        err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+        print(f"4a s2d-alone OK maxerr={err:.3e}", flush=True)
+    except Exception as e:
+        print(f"4a s2d-alone FAILED: {str(e)[:300]}", flush=True)
+
+    def make(ks, chans, cin, seed):
+        r = np.random.default_rng(seed)
+        ws, bs = [], []
+        for k, c in zip(ks, chans):
+            ws.append(jnp.asarray(
+                r.normal(0, 1, (k, k, cin, c)) / np.sqrt(k * k * cin),
+                jnp.float32,
+            ))
+            bs.append(jnp.asarray(r.normal(0, 0.01, (c,)), jnp.float32))
+            cin = c
+        return tuple(ws), tuple(bs)
+
+    # --- 4b..4e: chains of increasing depth, then production shapes ---
+    cases = [
+        ("4b single s2 k3", 8, 16, 24, 6, (3,), (8,), (2,), None),
+        ("4c s2 then s1", 8, 16, 24, 6, (3, 3), (8, 16), (2, 1), None),
+        ("4d s2 k7 stem", 8, 16, 24, 6, (7,), (8,), (2,), None),
+        (
+            "4e pose prefix (prod 128x416, B=64)",
+            4 if INTERP else 64, 128, 416, 8,
+            (7, 5, 3, 3, 3), (16, 32, 64, 128, 256), (2,) * 5, None,
+        ),
+        (
+            "4f attention stack (prod, B=64)",
+            4 if INTERP else 64, 128, 416, 4,
+            (3, 3, 3), (16, 32, 64), (2, 2, 2), None,
+        ),
+    ]
+    for tag, b, h, w, cin, ks, chans, strides, _ in cases:
+        if INTERP and h > 32:
+            b, h, w = 1, 32, 64
+        ws, bs = make(ks, chans, cin, sum(map(ord, tag)) % 2**31)
+        relus = (True,) * len(ks)
+        img = jnp.asarray(
+            np.random.default_rng(9).normal(0, 1, (b, h, w, cin)),
+            jnp.bfloat16,
+        )
+        try:
+            out = jax.block_until_ready(
+                conv_chain_strided(img, ws, bs, strides, relus)
+            )
+        except Exception as e:
+            print(f"{tag} FAILED: {str(e)[:300]}", flush=True)
+            continue
+        ref = xla_strided(img, ws, bs, strides, relus)
+        err = np.abs(np.asarray(out, np.float32) - np.asarray(ref)).max()
+        rel = err / (np.abs(np.asarray(ref)).max() + 1e-6)
+        print(f"{tag} OK maxerr={err:.3e} rel={rel:.3e}", flush=True)
+        if INTERP:
+            continue
+        jx = jax.jit(
+            lambda a, _w=ws, _b=bs, _s=strides, _r=relus: xla_strided(
+                a, _w, _b, _s, _r
+            )
+        )
+        jax.block_until_ready(jx(img))
+        r_x = timed(jx, img, iters=20, loops=5)
+        fn = partial(
+            conv_chain_strided, strides=strides, relus=relus,
+        )
+        r_p = timed(fn, img, ws, bs, iters=20, loops=5)
+        print(
+            f"{tag} timing (B={b}): pallas {r_p['ms']:.3f} ms "
+            f"vs XLA {r_x['ms']:.3f} ms",
+            flush=True,
+        )
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     try:
@@ -196,6 +329,10 @@ def main():
         phase3_costvol()
     except Exception as e:
         print("phase3 crashed:", str(e)[:300], flush=True)
+    try:
+        phase4_strided()
+    except Exception as e:
+        print("phase4 crashed:", str(e)[:300], flush=True)
 
 
 if __name__ == "__main__":

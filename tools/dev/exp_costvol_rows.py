@@ -8,10 +8,17 @@ REAL davo-fast serving program (the r1 lesson: kernels that win
 standalone can lose in context by blocking XLA fusion — the old
 use_pallas kernel cost 1,100 fps e2e).
 
+Results append to serving_probe_results.json (repo root) so
+`update_bench_flags.py` can promote a measured, equality-checked win
+into BENCH_FLAGS.json. Probes are resumable: a probe recorded as
+"started" with no result (a hung remote compile killed by tpu_run.sh)
+is skipped on retry instead of re-hanging the whole job.
+
 Usage: tools/dev/tpu_run.sh tools/dev/exp_costvol_rows.py 3600 3
 """
 
 import dataclasses
+import json
 import os
 import sys
 
@@ -55,74 +62,103 @@ def bench(tag, cfg):
     return np.asarray(out), r["ms"]
 
 
+RESULTS = os.path.join(
+    os.path.dirname(__file__), "..", "..", "serving_probe_results.json"
+)
+
+
+def _load_results() -> dict:
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            return json.load(f)
+    return {}
+
+
+def _save_results(res: dict) -> None:
+    tmp = RESULTS + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(res, f, indent=1, sort_keys=True)
+    os.replace(tmp, RESULTS)
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     fast = presets.get("davo-fast").model
     davo = presets.get("davo").model
-    ref_out, _ = bench("davo-fast (slices baseline)", fast)
+    res = _load_results()
+    ref_out, ref_ms = bench("davo-fast (slices baseline)", fast)
+    res["davo-fast (slices baseline)"] = {
+        "status": "done", "ms": ref_ms, "fps": B / ref_ms * 1000,
+        "base": "davo-fast", "overrides": {}, "equality_checked": False,
+        "out_absmax": float(np.abs(ref_out).max()),
+    }
+    _save_results(res)
 
     # Every probe is independent: a Mosaic failure in one must not
     # skip the rest (TPU access is scarce and serialized).
+    # (tag, base preset, model-field overrides, equality-checked).
     probes = [
         (
-            "davo-fast (pallas_rows)",
-            dataclasses.replace(fast, costvol_impl="pallas_rows"),
-            True,
+            "davo-fast (pallas_rows)", "davo-fast",
+            {"costvol_impl": "pallas_rows"}, True,
         ),
-        ("davo (slices baseline)", davo, False),
+        ("davo (slices baseline)", "davo", {}, False),
+        ("davo (pallas_rows)", "davo", {"costvol_impl": "pallas_rows"}, False),
         (
-            "davo (pallas_rows)",
-            dataclasses.replace(davo, costvol_impl="pallas_rows"),
-            False,
-        ),
-        (
-            "davo-fast (fuse_estimator)",
-            dataclasses.replace(fast, fuse_estimator=True),
-            True,
+            "davo-fast (fuse_estimator)", "davo-fast",
+            {"fuse_estimator": True}, True,
         ),
         (
-            "davo-fast (fused est + rows cv)",
-            dataclasses.replace(
-                fast, fuse_estimator=True, costvol_impl="pallas_rows"
-            ),
-            True,
+            "davo-fast (fused est + rows cv)", "davo-fast",
+            {"fuse_estimator": True, "costvol_impl": "pallas_rows"}, True,
         ),
         (
-            "davo-fast (fuse_flow_level)",
-            dataclasses.replace(fast, fuse_flow_level=True),
-            True,
+            "davo-fast (fuse_flow_level)", "davo-fast",
+            {"fuse_flow_level": True}, True,
         ),
-        (
-            "davo (fuse_flow_level)",
-            dataclasses.replace(davo, fuse_flow_level=True),
-            False,
-        ),
+        ("davo (fuse_flow_level)", "davo", {"fuse_flow_level": True}, False),
         # Cheap config probe: 3-level pyramid saved ~10 % on paper-davo
         # (r2c); if it repeats, a quality gate (e2e tier) decides.
+        ("davo-fast (flow_levels=3)", "davo-fast", {"flow_levels": 3}, False),
         (
-            "davo-fast (flow_levels=3)",
-            dataclasses.replace(fast, flow_levels=3),
-            False,
-        ),
-        (
-            "davo-fast (rows + levels=3)",
-            dataclasses.replace(
-                fast, costvol_impl="pallas_rows", flow_levels=3
-            ),
-            False,
+            "davo-fast (rows + levels=3)", "davo-fast",
+            {"costvol_impl": "pallas_rows", "flow_levels": 3}, False,
         ),
     ]
-    for tag, cfg, check_equal in probes:
-        try:
-            out, _ = bench(tag, cfg)
-        except Exception as e:
-            print(f"{tag} FAILED: {str(e)[:300]}", flush=True)
-            continue
-        if check_equal:
+    bases = {"davo-fast": fast, "davo": davo}
+    for tag, base, over, check_equal in probes:
+        prev = res.get(tag, {})
+        if prev.get("status") in ("done", "hung"):
             print(
-                f"  pose-vs-baseline maxerr={np.abs(ref_out - out).max():.3e}",
+                f"{tag}: {prev['status']} on a previous attempt, skipping",
                 flush=True,
             )
+            continue
+        if prev.get("status") == "started":
+            # Started but never finished = the remote compile hung and
+            # tpu_run.sh killed the job. Don't re-hang the retry.
+            print(f"{tag}: HUNG on a previous attempt, skipping", flush=True)
+            res[tag] = {**prev, "status": "hung"}
+            _save_results(res)
+            continue
+        res[tag] = {
+            "status": "started", "base": base, "overrides": over,
+            "equality_checked": check_equal,
+        }
+        _save_results(res)
+        try:
+            out, ms = bench(tag, dataclasses.replace(bases[base], **over))
+        except Exception as e:
+            print(f"{tag} FAILED: {str(e)[:300]}", flush=True)
+            res[tag].update(status="failed", error=str(e)[:300])
+            _save_results(res)
+            continue
+        res[tag].update(status="done", ms=ms, fps=B / ms * 1000)
+        if check_equal:
+            maxerr = float(np.abs(ref_out - out).max())
+            res[tag]["maxerr"] = maxerr
+            print(f"  pose-vs-baseline maxerr={maxerr:.3e}", flush=True)
+        _save_results(res)
 
 
 if __name__ == "__main__":
