@@ -71,6 +71,16 @@ class ModelConfig:
     # flow_est_bottleneck == 0. Supersedes fuse_estimator +
     # costvol_impl="pallas_rows" when set.
     fuse_flow_level: bool = False
+    # Serving-only: run the PoseEncoder's stride-2 stack (the even-dim
+    # fusable prefix — 5 of 7 layers at 128x416) as ONE Pallas kernel
+    # (kernels/rowconv.conv_chain_strided, in-kernel space-to-depth);
+    # the odd-dim tail runs via XLA. Same param tree; no VJP. The
+    # attention=none floor is 4.26 ms for 0.35 GF (r2c profile) —
+    # dispatch-bound, which is exactly what this collapses.
+    fuse_pose_encoder: bool = False
+    # Serving-only: RegionAttention's 3x stride-2 conv stack as one
+    # Pallas kernel (same mechanism; fully fusable at even inputs).
+    fuse_attention: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift

@@ -274,6 +274,22 @@ def _s2d_rows(x, H, W, C):
     return jnp.concatenate([even, odd], axis=1)
 
 
+def fusable_even_prefix(h: int, w: int, strides: Sequence[int]) -> int:
+    """Longest chain prefix whose stride-2 layers all see even dims.
+
+    `conv_chain_strided`'s in-kernel s2d needs even H, W at every
+    stride-2 layer; the tail past the prefix runs via XLA.
+    """
+    n = 0
+    for s in strides:
+        if s == 2:
+            if h % 2 or w % 2:
+                break
+            h, w = h // 2, w // 2
+        n += 1
+    return n
+
+
 def _same_pad_low(size: int, k: int, stride: int) -> int:
     """XLA SAME low padding (flax nn.Conv convention)."""
     out = -(-size // stride)

@@ -36,8 +36,34 @@ class RegionAttention(nn.Module):
         """flow: (B, H, W, F) flow/cue stack (e.g. fwd+bwd = 4 chans)."""
         dt = dtype_of(self.cfg.compute_dtype)
         x = flow.astype(dt)
-        for i, ch in enumerate((16, 32, 64)):
-            x = ConvBlock(ch, 3, 2, dt, name=f"conv{i}")(x)
+        chans = (16, 32, 64)
+        start = 0
+        if self.cfg.fuse_attention and not self.is_initializing():
+            # Serving fast path: the stride-2 stack as one Pallas
+            # kernel (same mechanism + caveats as fuse_pose_encoder).
+            from davo_tpu.kernels.rowconv import (
+                conv_chain_strided,
+                fusable_even_prefix,
+            )
+
+            n = fusable_even_prefix(
+                x.shape[1], x.shape[2], (2,) * len(chans)
+            )
+            if n:
+                p = self.variables["params"]
+                ws = tuple(
+                    p[f"conv{i}"]["Conv_0"]["kernel"] for i in range(n)
+                )
+                bs = tuple(
+                    p[f"conv{i}"]["Conv_0"]["bias"] for i in range(n)
+                )
+                x = conv_chain_strided(
+                    x, ws, bs, (2,) * n, (True,) * n,
+                    compute_dtype_name=self.cfg.compute_dtype,
+                ).astype(dt)
+                start = n
+        for i in range(start, len(chans)):
+            x = ConvBlock(chans[i], 3, 2, dt, name=f"conv{i}")(x)
         x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)  # (B, 64)
         x = nn.relu(nn.Dense(64, name="fc0")(x))
         logits = nn.Dense(self.cfg.num_seg_classes, name="fc1")(x)

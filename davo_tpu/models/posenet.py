@@ -25,9 +25,40 @@ class PoseEncoder(nn.Module):
     def __call__(self, pair: jnp.ndarray) -> jnp.ndarray:
         dt = dtype_of(self.cfg.compute_dtype)
         x = pair.astype(dt)
-        for i, ch in enumerate(self.cfg.pose_channels):
-            k = 7 if i == 0 else (5 if i == 1 else 3)
-            x = ConvBlock(ch, k, 2, dt, name=f"enc{i}")(x)
+        ks = [
+            7 if i == 0 else (5 if i == 1 else 3)
+            for i in range(len(self.cfg.pose_channels))
+        ]
+        start = 0
+        if self.cfg.fuse_pose_encoder and not self.is_initializing():
+            # Serving fast path: the even-dim prefix of the stride-2
+            # stack as ONE Pallas kernel (kernels/rowconv, in-kernel
+            # s2d), reading the SAME params the XLA path trains. Init
+            # always runs the XLA path so the tree is identical; no
+            # VJP, so training configs keep this False (CLI-guarded).
+            from davo_tpu.kernels.rowconv import (
+                conv_chain_strided,
+                fusable_even_prefix,
+            )
+
+            n = fusable_even_prefix(x.shape[1], x.shape[2], (2,) * len(ks))
+            if n:
+                p = self.variables["params"]
+                ws = tuple(
+                    p[f"enc{i}"]["Conv_0"]["kernel"] for i in range(n)
+                )
+                bs = tuple(
+                    p[f"enc{i}"]["Conv_0"]["bias"] for i in range(n)
+                )
+                x = conv_chain_strided(
+                    x, ws, bs, (2,) * n, (True,) * n,
+                    compute_dtype_name=self.cfg.compute_dtype,
+                ).astype(dt)
+                start = n
+        for i in range(start, len(ks)):
+            x = ConvBlock(
+                self.cfg.pose_channels[i], ks[i], 2, dt, name=f"enc{i}"
+            )(x)
         return x
 
 

@@ -58,6 +58,37 @@ class TestPoseNet:
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
 
+    def test_fuse_pose_encoder_matches_xla_path(self, batch):
+        """fuse_pose_encoder=True (stride-2 stack as one s2d Pallas
+        kernel) == the XLA conv path on the SAME params."""
+        import dataclasses
+
+        net = PoseNet(CFG)
+        params = net.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        ref = net.apply(params, batch["target"], batch["sources"][:, 0])
+        fused = PoseNet(dataclasses.replace(CFG, fuse_pose_encoder=True))
+        got = fused.apply(params, batch["target"], batch["sources"][:, 0])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-5
+        )
+
+    def test_fuse_pose_encoder_odd_dims_falls_back(self, batch):
+        """Odd input dims -> zero fusable prefix -> pure XLA path."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, img_height=63, img_width=95)
+        t = batch["target"][:, :63, :95]
+        s = batch["sources"][:, 0, :63, :95]
+        net = PoseNet(cfg)
+        params = net.init(jax.random.key(0), t, s)
+        ref = net.apply(params, t, s)
+        got = PoseNet(
+            dataclasses.replace(cfg, fuse_pose_encoder=True)
+        ).apply(params, t, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
 
 class TestDispNet:
     def test_multiscale_shapes(self, batch):
@@ -399,6 +430,23 @@ class TestAttention:
         assert float(wmap[0, :4].max()) == 0.0
         assert float(wmap[0, 4:].min()) == 1.0
 
+    def test_fuse_attention_matches_xla_path(self, batch):
+        """fuse_attention=True (conv stack as one s2d Pallas kernel)
+        == the XLA path on the SAME params."""
+        import dataclasses
+
+        rng = np.random.default_rng(3)
+        flow = jnp.asarray(rng.normal(0, 2, (2, 64, 96, 2)), jnp.float32)
+        net = RegionAttention(CFG)
+        params = net.init(jax.random.key(0), flow)
+        ref = net.apply(params, flow)
+        got = RegionAttention(
+            dataclasses.replace(CFG, fuse_attention=True)
+        ).apply(params, flow)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-5
+        )
+
 
 class TestDavoModel:
     @pytest.mark.parametrize("attention", ["none", "flow", "flow_seg"])
@@ -425,6 +473,49 @@ class TestDavoModel:
             assert len(out["flows"]) == 2
         if attention == "flow_seg":
             assert out["attn"].shape == (2, 2, 19)
+
+    def test_all_fused_serving_matches_xla(self, batch):
+        """The full serving-fused config (fuse_flow_level +
+        fuse_pose_encoder + fuse_attention) == the XLA path on the
+        same params — the whole-model combination the on-chip probe
+        promotes into BENCH_FLAGS.json."""
+        import dataclasses
+
+        cfg = ModelConfig(
+            img_height=64,
+            img_width=96,
+            pose_channels=(8, 12, 16, 16),
+            disp_channels=(8, 12, 16, 16),
+            flow_levels=3,
+            flow_search_range=2,
+            attention="flow_seg",
+            compute_dtype="float32",
+        )
+        model = DavoModel(cfg)
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"],
+            seg=batch["seg"],
+        )
+        ref = model.apply(
+            params, batch["target"], batch["sources"], seg=batch["seg"]
+        )
+        fused = DavoModel(
+            dataclasses.replace(
+                cfg,
+                fuse_flow_level=True,
+                fuse_pose_encoder=True,
+                fuse_attention=True,
+            )
+        )
+        got = fused.apply(
+            params, batch["target"], batch["sources"], seg=batch["seg"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["poses"]), np.asarray(ref["poses"]), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["attn"]), np.asarray(ref["attn"]), atol=1e-4
+        )
 
     def test_flow_fb_cue_variant(self, batch):
         """attention_cue="flow_fb": forward runs, outputs keep their

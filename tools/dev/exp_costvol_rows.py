@@ -117,6 +117,23 @@ def main():
             {"fuse_flow_level": True}, True,
         ),
         ("davo (fuse_flow_level)", "davo", {"fuse_flow_level": True}, False),
+        (
+            "davo-fast (fuse_pose_encoder)", "davo-fast",
+            {"fuse_pose_encoder": True}, True,
+        ),
+        (
+            "davo-fast (fuse_attention)", "davo-fast",
+            {"fuse_attention": True}, True,
+        ),
+        (
+            "davo-fast (all fused)", "davo-fast",
+            {
+                "fuse_flow_level": True,
+                "fuse_pose_encoder": True,
+                "fuse_attention": True,
+            },
+            True,
+        ),
         # Cheap config probe: 3-level pyramid saved ~10 % on paper-davo
         # (r2c); if it repeats, a quality gate (e2e tier) decides.
         ("davo-fast (flow_levels=3)", "davo-fast", {"flow_levels": 3}, False),
