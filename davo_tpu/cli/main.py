@@ -83,7 +83,11 @@ def cmd_train(args) -> int:
         )
 
     if (
-        (cfg.model.fuse_estimator or cfg.model.fuse_flow_level)
+        (
+            cfg.model.fuse_estimator
+            or cfg.model.fuse_flow_level
+            or cfg.model.fuse_pyramid
+        )
         and cfg.model.attention != "none"
     ) or cfg.model.fuse_pose_encoder or cfg.model.fuse_attention:
         # Serving-only flags: the fused Pallas kernels have no VJP, so
@@ -91,10 +95,10 @@ def cmd_train(args) -> int:
         # differentiation error deep in JAX — fail with a named error
         # instead (config.py fuse_estimator note).
         print(
-            "model.fuse_estimator / fuse_flow_level / fuse_pose_encoder"
-            " / fuse_attention are serving-only fast paths (pallas_call"
-            " has no VJP); train with them false and enable them for"
-            " infer/depth/export",
+            "model.fuse_estimator / fuse_flow_level / fuse_pyramid / "
+            "fuse_pose_encoder / fuse_attention are serving-only fast "
+            "paths (pallas_call has no VJP); train with them false and "
+            "enable them for infer/depth/export",
             file=sys.stderr,
         )
         return 1

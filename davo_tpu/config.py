@@ -81,6 +81,11 @@ class ModelConfig:
     # Serving-only: RegionAttention's 3x stride-2 conv stack as one
     # Pallas kernel (same mechanism; fully fusable at even inputs).
     fuse_attention: bool = False
+    # Serving-only: the whole FlowNetLite feature-pyramid ladder
+    # ((s2, s1) x flow_levels) as one multi-output Pallas kernel
+    # (conv_chain_strided taps). Requires every s2 layer to see even
+    # dims (holds at 128x416); falls back to XLA otherwise.
+    fuse_pyramid: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift

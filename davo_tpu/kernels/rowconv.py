@@ -322,20 +322,24 @@ def s2d_weights(w: jnp.ndarray, pad_low: int):
     return w2.reshape(win * win, 4 * cin, cout), lo, hi
 
 
-def _strided_chain_kernel(*refs, height, width, geoms, relus, compute_dtype):
-    """refs = [x_ref, (w_ref, b_ref) * n, out_ref, scratch * n].
+def _strided_chain_kernel(
+    *refs, height, width, geoms, relus, taps, compute_dtype
+):
+    """refs = [x_ref, (w_ref, b_ref) * n, out_ref * len(taps),
+    scratch * n].
 
     (height, width) is the kernel input resolution; geoms[i] =
     (H, W, stride, win_lo, win_hi, pad_b) for layer i, at the layer's
     POST-s2d resolution (H, W) when stride == 2. Taps are contiguous
     row slices of the layer's own exactly-sized scratch; horizontal
-    validity is masked per window column offset.
+    validity is masked per window column offset. `taps` lists the
+    layers whose post-activation outputs are emitted (pyramid levels).
     """
     n_layers = len(geoms)
     x_ref = refs[0]
     wb_refs = refs[1 : 1 + 2 * n_layers]
-    out_ref = refs[1 + 2 * n_layers]
-    scratches = refs[2 + 2 * n_layers :]
+    out_refs = refs[1 + 2 * n_layers : 1 + 2 * n_layers + len(taps)]
+    scratches = refs[1 + 2 * n_layers + len(taps) :]
     x = x_ref[0].astype(compute_dtype)
     H_in, W_in = height, width
     for layer in range(n_layers):
@@ -374,12 +378,15 @@ def _strided_chain_kernel(*refs, height, width, geoms, relus, compute_dtype):
         x = (acc + b_ref[0]).astype(compute_dtype)
         if relus[layer]:
             x = jax.nn.relu(x)
+        if layer in taps:
+            o = out_refs[taps.index(layer)]
+            o[0] = x.astype(o.dtype)
         H_in, W_in = H, W
-    out_ref[0] = x.astype(out_ref.dtype)
 
 
 @partial(
-    jax.jit, static_argnames=("strides", "relus", "compute_dtype_name")
+    jax.jit,
+    static_argnames=("strides", "relus", "taps", "compute_dtype_name"),
 )
 def conv_chain_strided(
     x: jnp.ndarray,
@@ -387,8 +394,9 @@ def conv_chain_strided(
     biases: Sequence[jnp.ndarray],
     strides: tuple,
     relus: tuple,
+    taps: tuple | None = None,
     compute_dtype_name: str = "bfloat16",
-) -> jnp.ndarray:
+):
     """Fused mixed-stride SAME conv chain as ONE Pallas kernel.
 
     Generalizes `conv_chain_nhwc` to stride-2 layers and any odd kernel
@@ -403,7 +411,9 @@ def conv_chain_strided(
     x: (B, H, W, C0); weights[i]: (k_i, k_i, Cin_i, Cout_i) HWIO f32;
     strides[i] in {1, 2}; stride-2 layers require even input H, W
     (fuse the even prefix of a net; run the tail via XLA).
-    Returns (B, H_out, W_out, Cout_last) f32. Forward-only (serving).
+    Returns (B, H_out, W_out, Cout_last) f32, or — when `taps` names
+    the layers to emit (a feature pyramid) — the list of those layers'
+    post-activation outputs. Forward-only (serving).
 
     STATUS: interpret-validated (tests/test_kernels.py); hardware
     validation rides exp_conv2d_chain.py phase 4.
@@ -450,17 +460,30 @@ def conv_chain_strided(
         )
         for arr in wb
     ]
-    cout = weights[-1].shape[3]
+    single = taps is None
+    taps_t = (n_layers - 1,) if single else tuple(taps)
+    assert all(0 <= t < n_layers for t in taps_t) and sorted(
+        set(taps_t)
+    ) == list(taps_t), taps_t
     flops = 0
     for g, wt in zip(geoms, weights):
         # s2d layers: win^2 * 4Cin effective taps (incl. zero slots).
         win = g[4] - g[3] + 1
         cin_eff = wt.shape[2] * (4 if g[2] == 2 else 1)
         flops += 2 * B * g[0] * g[1] * win * win * cin_eff * wt.shape[3]
-    out = pl.pallas_call(
+    out_shapes = [
+        jax.ShapeDtypeStruct(
+            (B, geoms[t][0] * geoms[t][1], weights[t].shape[3]),
+            jnp.float32,
+        )
+        for t in taps_t
+    ]
+    out_bytes = sum(4 * B * s.shape[1] * s.shape[2] for s in out_shapes)
+    outs = pl.pallas_call(
         partial(
             _strided_chain_kernel, height=H, width=W,
-            geoms=tuple(geoms), relus=relus, compute_dtype=compute_dtype,
+            geoms=tuple(geoms), relus=relus, taps=taps_t,
+            compute_dtype=compute_dtype,
         ),
         grid=(B,),
         in_specs=[
@@ -470,23 +493,27 @@ def conv_chain_strided(
             )
         ]
         + wb_specs,
-        out_specs=pl.BlockSpec(
-            (1, geoms[-1][0] * geoms[-1][1], cout),
-            lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, geoms[-1][0] * geoms[-1][1], cout), jnp.float32
-        ),
+        out_specs=[
+            pl.BlockSpec(
+                (1, s.shape[1], s.shape[2]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for s in out_shapes
+        ],
+        out_shape=out_shapes,
         scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=4 * B * (H * W * C0 + geoms[-1][0] * geoms[-1][1] * cout),
+            bytes_accessed=4 * B * H * W * C0 + out_bytes,
             transcendentals=0,
         ),
         interpret=_interpret(),
     )(x.reshape(B, H * W, C0), *wb)
-    return out.reshape(B, geoms[-1][0], geoms[-1][1], cout)
+    outs = [
+        o.reshape(B, geoms[t][0], geoms[t][1], weights[t].shape[3])
+        for o, t in zip(outs, taps_t)
+    ]
+    return outs[0] if single else outs
 
 
 @partial(jax.jit, static_argnames=("relus", "compute_dtype_name"))

@@ -145,8 +145,35 @@ class FeaturePyramid(nn.Module):
     def __call__(self, img: jnp.ndarray) -> list[jnp.ndarray]:
         dt = dtype_of(self.cfg.compute_dtype)
         x = img.astype(dt)
+        chans = _LEVEL_CHANNELS[: self.cfg.flow_levels]
+        if self.cfg.fuse_pyramid and not self.is_initializing():
+            # Serving fast path: the whole (s2, s1) x levels ladder as
+            # ONE Pallas kernel, emitting every level via taps (same
+            # mechanism + caveats as fuse_pose_encoder). 416-wide
+            # inputs stay even through all four s2 layers.
+            from davo_tpu.kernels.rowconv import (
+                conv_chain_strided,
+                fusable_even_prefix,
+            )
+
+            strides = (2, 1) * len(chans)
+            n = fusable_even_prefix(x.shape[1], x.shape[2], strides)
+            if n == len(strides):
+                p = self.variables["params"]
+                ws, bs = [], []
+                for i in range(len(chans)):
+                    for suf in ("a", "b"):
+                        ws.append(p[f"feat{i}{suf}"]["Conv_0"]["kernel"])
+                        bs.append(p[f"feat{i}{suf}"]["Conv_0"]["bias"])
+                pyr = conv_chain_strided(
+                    x, tuple(ws), tuple(bs), strides,
+                    (True,) * len(strides),
+                    taps=tuple(2 * i + 1 for i in range(len(chans))),
+                    compute_dtype_name=self.cfg.compute_dtype,
+                )
+                return [f.astype(dt) for f in pyr]
         pyr = []
-        for i, ch in enumerate(_LEVEL_CHANNELS[: self.cfg.flow_levels]):
+        for i, ch in enumerate(chans):
             x = ConvBlock(ch, 3, 2, dt, name=f"feat{i}a")(x)
             x = ConvBlock(ch, 3, 1, dt, name=f"feat{i}b")(x)
             pyr.append(x)

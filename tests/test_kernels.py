@@ -245,3 +245,24 @@ class TestStridedRowChain:
             conv_chain_strided(
                 x, ws, bs, (2,), (True,), compute_dtype_name="float32"
             )
+
+    def test_taps_emit_pyramid_levels(self, rng):
+        """taps: each tapped layer's output matches the XLA prefix."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(2, 16, 24, 6)), jnp.float32)
+        ws, bs = self._make(rng, (3, 3, 3, 3), (8, 8, 16, 16), 6)
+        strides = (2, 1, 2, 1)
+        outs = conv_chain_strided(
+            x, ws, bs, strides, (True,) * 4, taps=(1, 3),
+            compute_dtype_name="float32",
+        )
+        assert len(outs) == 2
+        for t, got in zip((2, 4), outs):
+            want = self._xla_stack(
+                x, ws[:t], bs[:t], strides[:t]
+            )
+            assert got.shape == want.shape
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+            )

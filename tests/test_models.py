@@ -303,6 +303,23 @@ class TestFlowNet:
                     np.asarray(a), np.asarray(b), atol=5e-3
                 )
 
+    def test_fuse_pyramid_matches_xla_path(self, batch):
+        """fuse_pyramid=True (whole feature ladder as one multi-output
+        Pallas kernel) == the XLA path on the same params."""
+        import dataclasses
+
+        model = FlowNetLite(CFG)
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        ref = model.apply(params, batch["target"], batch["sources"][:, 0])
+        fused = FlowNetLite(dataclasses.replace(CFG, fuse_pyramid=True))
+        got = fused.apply(params, batch["target"], batch["sources"][:, 0])
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-3
+            )
+
     def test_fuse_flow_level_matches_xla_path(self, batch):
         """fuse_flow_level=True (costvol + relu + concat + estimator
         chain as ONE kernel per level) == the XLA path on the same
@@ -503,6 +520,7 @@ class TestDavoModel:
             dataclasses.replace(
                 cfg,
                 fuse_flow_level=True,
+                fuse_pyramid=True,
                 fuse_pose_encoder=True,
                 fuse_attention=True,
             )

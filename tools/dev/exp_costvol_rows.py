@@ -126,9 +126,14 @@ def main():
             {"fuse_attention": True}, True,
         ),
         (
+            "davo-fast (fuse_pyramid)", "davo-fast",
+            {"fuse_pyramid": True}, True,
+        ),
+        (
             "davo-fast (all fused)", "davo-fast",
             {
                 "fuse_flow_level": True,
+                "fuse_pyramid": True,
                 "fuse_pose_encoder": True,
                 "fuse_attention": True,
             },
