@@ -58,10 +58,27 @@ def main() -> None:
     if os.path.exists(flags_path):
         with open(flags_path) as f:
             flags = json.load(f)
-        if flags.get("validated_on") == "tpu":
+        import sys
+
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(__file__), "tools", "dev")
+        )
+        from probe_common import fingerprint
+
+        if flags.get("validated_on") == "tpu" and flags.get(
+            "fingerprint"
+        ) == fingerprint():
             from davo_tpu.config import apply_overrides
 
             full_cfg = apply_overrides(full_cfg, flags["overrides"])
+            # stdout stays the one driver-parsed JSON line; record the
+            # config provenance on stderr so round headlines remain
+            # attributable (flags change what is being measured).
+            print(
+                f"bench: applying BENCH_FLAGS overrides "
+                f"{flags['overrides']} (probe: {flags.get('probe')})",
+                file=sys.stderr,
+            )
     cfg = full_cfg.model
     model = DavoModel(cfg)
     rng = np.random.default_rng(0)

@@ -84,12 +84,21 @@ def cmd_train(args) -> int:
 
     if (
         (
-            cfg.model.fuse_estimator
-            or cfg.model.fuse_flow_level
-            or cfg.model.fuse_pyramid
+            (
+                cfg.model.fuse_estimator
+                or cfg.model.fuse_flow_level
+                or cfg.model.fuse_pyramid
+            )
+            and cfg.model.attention != "none"
         )
-        and cfg.model.attention != "none"
-    ) or cfg.model.fuse_pose_encoder or cfg.model.fuse_attention:
+        or cfg.model.fuse_pose_encoder
+        # RegionAttention (and so the fused kernel) is only built for
+        # the flow_seg config; other attention modes never trace it.
+        or (
+            cfg.model.fuse_attention
+            and cfg.model.attention == "flow_seg"
+        )
+    ):
         # Serving-only flags: the fused Pallas kernels have no VJP, so
         # a grad-traced train step dies with a cryptic pallas
         # differentiation error deep in JAX — fail with a named error

@@ -38,26 +38,21 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
-    """refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch].
+def _run_3x3_chain(x, wb_refs, scratch, width, relus, compute_dtype):
+    """Stride-1 3x3 SAME chain body on a rows-layout (P, C) value.
 
-    x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
-    scratch (P + 2*(W+1), Cmax) zero-padded activation buffer in
-    compute_dtype (bf16 doubles the MXU rate; dots accumulate f32
-    either way via preferred_element_type — the known-good Mosaic
-    combination from the r1 bisects).
+    Shared by `_chain_kernel` and `_flow_level_kernel`: per layer the
+    zero-padded activation goes through the VMEM scratch ref (layout
+    laundering — kernels/conv_stack.py recipe), each (dy, dx) tap is a
+    contiguous row slice, horizontal wrap is iota-masked, and each tap
+    is one MXU dot (compute_dtype operands, f32 accumulation).
     """
-    x_ref = refs[0]
-    wb_refs = refs[1 : 1 + 2 * n_layers]
-    out_ref = refs[1 + 2 * n_layers]
-    scratch = refs[2 + 2 * n_layers]
-    P = height * width
+    P = x.shape[0]
     pad = width + 1
     col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
     mask_l = (col >= 1).astype(compute_dtype)       # dx = -1 valid
     mask_r = (col < width - 1).astype(compute_dtype)  # dx = +1 valid
-    x = x_ref[0].astype(compute_dtype)  # (P, C0)
-    for layer in range(n_layers):
+    for layer in range(len(relus)):
         w_ref = wb_refs[2 * layer]
         b_ref = wb_refs[2 * layer + 1]
         cin = w_ref.shape[1]
@@ -84,6 +79,26 @@ def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
         x = (acc + b_ref[0]).astype(compute_dtype)
         if relus[layer]:
             x = jax.nn.relu(x)
+    return x
+
+
+def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
+    """refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch].
+
+    x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
+    scratch (P + 2*(W+1), Cmax) zero-padded activation buffer in
+    compute_dtype (bf16 doubles the MXU rate; dots accumulate f32
+    either way via preferred_element_type — the known-good Mosaic
+    combination from the r1 bisects).
+    """
+    x_ref = refs[0]
+    wb_refs = refs[1 : 1 + 2 * n_layers]
+    out_ref = refs[1 + 2 * n_layers]
+    scratch = refs[2 + 2 * n_layers]
+    x = _run_3x3_chain(
+        x_ref[0].astype(compute_dtype), wb_refs, scratch, width, relus,
+        compute_dtype,
+    )
     out_ref[0] = x.astype(out_ref.dtype)
 
 
@@ -135,37 +150,8 @@ def _flow_level_kernel(
         axis=1,
     ).astype(compute_dtype)
 
-    # --- conv chain (same tap scheme as _chain_kernel) ---
-    pad = width + 1
-    mask_l = (col >= 1).astype(compute_dtype)
-    mask_r = (col < width - 1).astype(compute_dtype)
-    for layer in range(n_layers):
-        w_ref = wb_refs[2 * layer]
-        b_ref = wb_refs[2 * layer + 1]
-        cin = w_ref.shape[1]
-        cout = w_ref.shape[2]
-        scratch[0:pad, :cin] = jnp.zeros((pad, cin), compute_dtype)
-        scratch[pad : pad + P, :cin] = x
-        scratch[pad + P : 2 * pad + P, :cin] = jnp.zeros(
-            (pad, cin), compute_dtype
-        )
-        acc = jnp.zeros((P, cout), jnp.float32)
-        for ky in range(3):
-            for kx in range(3):
-                off = pad + (ky - 1) * width + (kx - 1)
-                tap = scratch[off : off + P, :cin]
-                if kx == 0:
-                    tap = tap * mask_l
-                elif kx == 2:
-                    tap = tap * mask_r
-                acc += jax.lax.dot(
-                    tap,
-                    w_ref[ky * 3 + kx].astype(compute_dtype),
-                    preferred_element_type=jnp.float32,
-                )
-        x = (acc + b_ref[0]).astype(compute_dtype)
-        if relus[layer]:
-            x = jax.nn.relu(x)
+    # --- conv chain (shared body, same tap scheme as _chain_kernel) ---
+    x = _run_3x3_chain(x, wb_refs, scratch, width, relus, compute_dtype)
     out_ref[0] = x.astype(out_ref.dtype)
 
 
@@ -305,20 +291,24 @@ def s2d_weights(w: jnp.ndarray, pad_low: int):
     the conv becomes a stride-1 window conv over the (H/2, W/2, 4Cin)
     s2d tensor. Returns (win*win, 4Cin, Cout) weights (zeros where no
     full-res tap maps) plus the window offset range [lo, hi].
+
+    Implementation: d + (pad_low + 2*(-lo)) = 2*(win_row) + parity, so
+    one pad to length 2*win per spatial axis followed by a (win, 2)
+    split-reshape separates window index from parity — a single
+    pad/reshape/transpose chain XLA fuses into one kernel, instead of
+    k^2 dynamic-update-slices in the traced serving graph (this runs
+    per forward call; params are runtime inputs, never folded).
     """
     k, _, cin, cout = w.shape
     lo = (0 - pad_low) // 2
     hi = (k - 1 - pad_low) // 2
     win = hi - lo + 1
-    w2 = jnp.zeros((win, win, 4 * cin, cout), w.dtype)
-    for dy in range(k):
-        wy, py = (dy - pad_low) // 2, (dy - pad_low) % 2
-        for dx in range(k):
-            wx, px = (dx - pad_low) // 2, (dx - pad_low) % 2
-            plane = py * 2 + px
-            w2 = w2.at[
-                wy - lo, wx - lo, plane * cin : (plane + 1) * cin, :
-            ].set(w[dy, dx])
+    a = -pad_low - 2 * lo  # left pad so index = 2*(win_row - lo) + parity
+    wp = jnp.pad(
+        w, ((a, 2 * win - k - a), (a, 2 * win - k - a), (0, 0), (0, 0))
+    )
+    w6 = wp.reshape(win, 2, win, 2, cin, cout)
+    w2 = w6.transpose(0, 2, 1, 3, 4, 5).reshape(win, win, 4 * cin, cout)
     return w2.reshape(win * win, 4 * cin, cout), lo, hi
 
 

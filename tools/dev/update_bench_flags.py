@@ -20,6 +20,10 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from probe_common import fingerprint  # noqa: E402
 
 ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
 RESULTS = os.path.join(ROOT, "serving_probe_results.json")
@@ -38,6 +42,16 @@ def main() -> None:
         return
     with open(RESULTS) as f:
         res = json.load(f)
+    fp = fingerprint()
+    if res.get("_fingerprint") != fp:
+        print(
+            "probe results were measured against different kernel/model "
+            "code (stale fingerprint); refusing to promote — also "
+            "removing any existing BENCH_FLAGS.json for the same reason"
+        )
+        if os.path.exists(FLAGS):
+            os.remove(FLAGS)
+        return
     base = res.get("davo-fast (slices baseline)")
     if not base or base.get("status") != "done":
         print("no completed baseline probe; nothing to do")
@@ -46,7 +60,8 @@ def main() -> None:
     best = None
     for tag, r in res.items():
         if (
-            r.get("status") == "done"
+            isinstance(r, dict)  # skip the _fingerprint entry
+            and r.get("status") == "done"
             and r.get("base") == "davo-fast"
             and r.get("equality_checked")
             and r.get("maxerr", float("inf")) <= tol
@@ -64,6 +79,7 @@ def main() -> None:
     flags = {
         "overrides": {f"model.{k}": v for k, v in r["overrides"].items()},
         "validated_on": "tpu",
+        "fingerprint": fp,
         "probe": tag,
         "probe_fps": r["fps"],
         "baseline_fps": base["fps"],
