@@ -37,9 +37,63 @@ LOOPS = 5  # repo timing protocol: min over >= 5 loops (CLAUDE.md) —
            # tunnel hiccups (utils/profiling.timed methodology)
 
 
+def _wait_for_tpu_tunnel() -> None:
+    """Refuse to print a CPU number into the round's bench artifact.
+
+    The sandbox's jax_platforms is "axon,cpu": when the TPU tunnel
+    relay is down, backend init silently falls back to CPU and the
+    headline would record a ~100x regression that is really an infra
+    outage. Probe the relay's first TCP port before touching jax; wait
+    (bounded) for it to come back, else exit non-zero so the driver
+    records a failed run instead of a bogus number.
+    """
+    import socket
+    import sys
+
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # explicit CPU/dev invocation
+    host = os.environ["PALLAS_AXON_POOL_IPS"].split(",")[0]
+    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_S", "900"))
+    while time.time() < deadline:
+        try:
+            socket.create_connection((host, 8082), timeout=5).close()
+            return
+        except OSError:
+            print(
+                "bench: TPU tunnel unreachable, retrying in 30 s",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+    # Measured here: with the relay down, jax backend init HANGS (the
+    # plugin retries the claim forever) rather than failing fast — so
+    # exiting non-zero is the only way to hand the driver a clean
+    # failure instead of a hung process or a CPU-fallback number.
+    print(
+        "bench: TPU tunnel still unreachable after the wait budget; "
+        "exiting rather than hanging on backend init",
+        file=sys.stderr,
+    )
+    sys.exit(1)
+
+
 def main() -> None:
+    _wait_for_tpu_tunnel()
+
     import jax
     import jax.numpy as jnp
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and (
+        jax.default_backend() != "tpu"
+    ):
+        import sys
+
+        print(
+            f"bench: backend is {jax.default_backend()!r}, not tpu "
+            "(tunnel port answered but the chip claim failed); refusing "
+            "to record a CPU number",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     from davo_tpu.models import presets
     from davo_tpu.models.davo import DavoModel
