@@ -64,6 +64,13 @@ class ModelConfig:
     # training. Flag-gated pending hardware validation of the rows
     # layout (exp_conv2d_chain phases 1-2).
     fuse_estimator: bool = False
+    # TRAINABLE fused estimator: conv_chain_nhwc_ad runs the same
+    # 4-conv chain with a hand-written Pallas VJP (forward emits
+    # per-layer activations as residuals; the whole backward — relu',
+    # db, dW taps, transposed-conv dx — is one more kernel). Grads ==
+    # XLA to 1e-3 rel (tests). Unlike the serving flags this may be on
+    # during training; flag-gated pending hardware validation.
+    fuse_estimator_train: bool = False
     # Serving-only, one step further: the WHOLE flow level — cost
     # volume + ReLU + concat + estimator chain — as one Pallas kernel
     # per level (kernels/rowconv.flow_level_fused), ~55 dispatches ->

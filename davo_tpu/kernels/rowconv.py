@@ -38,7 +38,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _run_3x3_chain(x, wb_refs, scratch, width, relus, compute_dtype):
+def _run_3x3_chain(
+    x, wb_refs, scratch, width, relus, compute_dtype, act_refs=None
+):
     """Stride-1 3x3 SAME chain body on a rows-layout (P, C) value.
 
     Shared by `_chain_kernel` and `_flow_level_kernel`: per layer the
@@ -46,6 +48,8 @@ def _run_3x3_chain(x, wb_refs, scratch, width, relus, compute_dtype):
     laundering — kernels/conv_stack.py recipe), each (dy, dx) tap is a
     contiguous row slice, horizontal wrap is iota-masked, and each tap
     is one MXU dot (compute_dtype operands, f32 accumulation).
+    When `act_refs` is given, layer i's post-activation output is also
+    written to act_refs[i] (the VJP forward's residuals).
     """
     P = x.shape[0]
     pad = width + 1
@@ -79,6 +83,9 @@ def _run_3x3_chain(x, wb_refs, scratch, width, relus, compute_dtype):
         x = (acc + b_ref[0]).astype(compute_dtype)
         if relus[layer]:
             x = jax.nn.relu(x)
+        if act_refs is not None:
+            o = act_refs[layer]
+            o[0] = x.astype(o.dtype)
     return x
 
 
@@ -574,3 +581,268 @@ def conv_chain_nhwc(
         interpret=_interpret(),
     )(x.reshape(B, P, C0), *wb)
     return out.reshape(B, H, W, cout)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused chain (training path): custom VJP whose forward
+# AND backward each run as ONE Pallas kernel.
+# ---------------------------------------------------------------------------
+
+def _chain_fwd_kernel(*refs, height, width, n_layers, relus, compute_dtype):
+    """Forward emitting every layer's post-activation (VJP residuals).
+
+    refs = [x_ref, (w_ref, b_ref) * n, act_ref * n, scratch];
+    act_ref[i] (1, P, Cout_i) f32 — act_ref[n-1] is the primal output.
+    """
+    x_ref = refs[0]
+    wb_refs = refs[1 : 1 + 2 * n_layers]
+    act_refs = refs[1 + 2 * n_layers : 1 + 3 * n_layers]
+    scratch = refs[1 + 3 * n_layers]
+    _run_3x3_chain(
+        x_ref[0].astype(compute_dtype), wb_refs, scratch, width, relus,
+        compute_dtype, act_refs=act_refs,
+    )
+
+
+def _chain_bwd_kernel(*refs, height, width, n_layers, relus, compute_dtype):
+    """Backward for the stride-1 3x3 chain, one kernel for all layers.
+
+    refs = [a_0..a_n (layer inputs + primal out), dy,
+            w_0..w_{n-1} ((9, Cin, Cout) f32),
+            dx, dw_0..dw_{n-1}, db_0..db_{n-1},
+            scratch_in (compute_dtype), scratch_dx (f32)].
+
+    dW/db accumulate across the batch grid in-place (constant output
+    index maps; zeroed at grid step 0 — TPU grid steps run serially).
+    Per layer, reversed:
+      dz = dy * relu'(a_out)
+      db += sum_P dz
+      dW[tap] = (masked shifted a_in)^T @ dz      (contract P on MXU)
+      da_in[p + off] += mask(p) * (dz @ W[tap]^T)[p]  (padded scratch,
+        central slice read back — the exact transpose of the forward's
+        zero-padded tap reads, including the iota wrap masks)
+    """
+    a_refs = refs[: n_layers + 1]
+    dy_ref = refs[n_layers + 1]
+    w_refs = refs[n_layers + 2 : 2 * n_layers + 2]
+    dx_ref = refs[2 * n_layers + 2]
+    dw_refs = refs[2 * n_layers + 3 : 3 * n_layers + 3]
+    db_refs = refs[3 * n_layers + 3 : 4 * n_layers + 3]
+    scratch_in = refs[4 * n_layers + 3]
+    scratch_dx = refs[4 * n_layers + 4]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        for r in list(dw_refs) + list(db_refs):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    P = height * width
+    pad = width + 1
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
+    mask_l = (col >= 1).astype(jnp.float32)
+    mask_r = (col < width - 1).astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+    for layer in reversed(range(n_layers)):
+        a_in = a_refs[layer][0].astype(jnp.float32)
+        a_out = a_refs[layer + 1][0]
+        dz = dy
+        if relus[layer]:
+            dz = dz * (a_out > 0).astype(jnp.float32)
+        cin = w_refs[layer].shape[1]
+        db_refs[layer][0] += jnp.sum(dz, axis=0)
+        # padded input for dW taps (fwd's exact tap construction)
+        scratch_in[0:pad, :cin] = jnp.zeros((pad, cin), jnp.float32)
+        scratch_in[pad : pad + P, :cin] = a_in
+        scratch_in[pad + P : 2 * pad + P, :cin] = jnp.zeros(
+            (pad, cin), jnp.float32
+        )
+        # zero the dx accumulator region (full padded extent)
+        scratch_dx[:, :cin] = jnp.zeros(
+            (scratch_dx.shape[0], cin), jnp.float32
+        )
+        for ky in range(3):
+            for kx in range(3):
+                t = ky * 3 + kx
+                off = (ky - 1) * width + (kx - 1)
+                tap = scratch_in[pad + off : pad + off + P, :cin]
+                if kx == 0:
+                    tap = tap * mask_l
+                elif kx == 2:
+                    tap = tap * mask_r
+                dw_refs[layer][t] += jax.lax.dot_general(
+                    tap, dz, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                u = jax.lax.dot_general(
+                    dz, w_refs[layer][t],
+                    (((1,), (1,)), ((), ())),  # dz @ W[t]^T
+                    preferred_element_type=jnp.float32,
+                )
+                if kx == 0:
+                    u = u * mask_l
+                elif kx == 2:
+                    u = u * mask_r
+                scratch_dx[pad + off : pad + off + P, :cin] += u
+        dy = scratch_dx[pad : pad + P, :cin]
+    dx_ref[0] = dy.astype(dx_ref.dtype)
+
+
+def _chain_fwd_all(x, weights, biases, relus, compute_dtype_name):
+    """Run the fused forward, returning every layer's activation."""
+    B, H, W, C0 = x.shape
+    P = H * W
+    n_layers = len(relus)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    cmax = max([C0] + [w.shape[3] for w in weights])
+    wb = []
+    wb_specs = []
+    for w, b in zip(weights, biases):
+        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        wb.extend([w9, b.astype(jnp.float32)[None]])
+        for arr in wb[-2:]:
+            wb_specs.append(
+                pl.BlockSpec(
+                    arr.shape,
+                    partial(lambda nd, i: (0,) * nd, arr.ndim),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    acts = pl.pallas_call(
+        partial(
+            _chain_fwd_kernel, height=H, width=W, n_layers=n_layers,
+            relus=relus, compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, P, C0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + wb_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, P, w.shape[3]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for w in weights
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, w.shape[3]), jnp.float32)
+            for w in weights
+        ],
+        scratch_shapes=[pltpu.VMEM((P + 2 * (W + 1), cmax), compute_dtype)],
+        interpret=_interpret(),
+    )(x.reshape(B, P, C0), *wb)
+    return acts
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv_chain_nhwc_ad(
+    x, weights, biases, relus, compute_dtype_name="bfloat16"
+):
+    """Differentiable fused stride-1 3x3 chain (training path).
+
+    Same semantics as `conv_chain_nhwc`, with a hand-written VJP: the
+    forward is one Pallas kernel (emitting per-layer activations as
+    residuals) and the whole backward — relu', db, all dW taps, and
+    the transposed-conv dx — is ONE more Pallas kernel. dW/db
+    accumulate across the batch grid in VMEM instead of materializing
+    (B, 9, Cin, Cout) partials.
+
+    STATUS: interpret-validated vs jax.grad of the XLA chain
+    (tests/test_kernels.py::TestChainVJP); hardware validation rides
+    exp_conv2d_chain.py phase 5.
+    """
+    B, H, W, _ = x.shape
+    acts = _chain_fwd_all(x, weights, biases, relus, compute_dtype_name)
+    return acts[-1].reshape(B, H, W, weights[-1].shape[3])
+
+
+def _chain_ad_fwd(x, weights, biases, relus, compute_dtype_name):
+    B, H, W, _ = x.shape
+    acts = _chain_fwd_all(x, weights, biases, relus, compute_dtype_name)
+    out = acts[-1].reshape(B, H, W, weights[-1].shape[3])
+    return out, (x, acts, tuple(weights))
+
+
+def _chain_ad_bwd(relus, compute_dtype_name, res, g):
+    x, acts, weights = res
+    B, H, W, C0 = x.shape
+    P = H * W
+    n_layers = len(relus)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    cmax = max([C0] + [w.shape[3] for w in weights])
+    w9s = [
+        w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        for w in weights
+    ]
+    const_spec = lambda arr: pl.BlockSpec(
+        arr.shape,
+        partial(lambda nd, i: (0,) * nd, arr.ndim),
+        memory_space=pltpu.VMEM,
+    )
+    a_ins = [x.reshape(B, P, C0)] + [a for a in acts]
+    dx, *dwdb = pl.pallas_call(
+        partial(
+            _chain_bwd_kernel, height=H, width=W, n_layers=n_layers,
+            relus=relus, compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, P, a.shape[-1]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for a in a_ins
+        ]
+        + [
+            pl.BlockSpec(
+                (1, P, weights[-1].shape[3]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+        + [const_spec(w9) for w9 in w9s],
+        out_specs=[
+            pl.BlockSpec(
+                (1, P, C0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        + [const_spec(w9) for w9 in w9s]
+        + [
+            const_spec(jnp.zeros((1, w.shape[3]), jnp.float32))
+            for w in weights
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, P, C0), jnp.float32)]
+        + [
+            jax.ShapeDtypeStruct(w9.shape, jnp.float32) for w9 in w9s
+        ]
+        + [
+            jax.ShapeDtypeStruct((1, w.shape[3]), jnp.float32)
+            for w in weights
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32),
+            pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*a_ins, g.reshape(B, P, weights[-1].shape[3]), *w9s)
+    dws = tuple(
+        dwdb[i].reshape(3, 3, *weights[i].shape[2:]).astype(
+            weights[i].dtype
+        )
+        for i in range(n_layers)
+    )
+    dbs = tuple(
+        dwdb[n_layers + i][0].astype(weights[i].dtype)
+        for i in range(n_layers)
+    )
+    return (dx.reshape(B, H, W, C0), dws, dbs)
+
+
+conv_chain_nhwc_ad.defvjp(_chain_ad_fwd, _chain_ad_bwd)

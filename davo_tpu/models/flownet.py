@@ -196,14 +196,21 @@ class FlowEstimator(nn.Module):
             x = ConvBlock(
                 self.cfg.flow_est_bottleneck, 1, 1, dt, name="est_in"
             )(x)
-        if self.cfg.fuse_estimator and not self.is_initializing():
-            # Serving fast path: the whole est0->est1->est2->flow chain
+        if (
+            self.cfg.fuse_estimator or self.cfg.fuse_estimator_train
+        ) and not self.is_initializing():
+            # Fused fast path: the whole est0->est1->est2->flow chain
             # as ONE Pallas kernel (kernels/rowconv.py), reading the
             # SAME parameters the XLA path trains (equality-tested).
             # Init still runs the XLA path below so the param tree is
-            # identical; pallas_call has no VJP, so training configs
-            # must keep fuse_estimator=False.
-            from davo_tpu.kernels.rowconv import conv_chain_nhwc
+            # identical. fuse_estimator has no VJP (serving only);
+            # fuse_estimator_train uses the hand-written-VJP variant
+            # (grads == XLA, tests/test_kernels.py::TestChainVJP) and
+            # may be on during training.
+            from davo_tpu.kernels.rowconv import (
+                conv_chain_nhwc,
+                conv_chain_nhwc_ad,
+            )
 
             p = self.variables["params"]
             ws = tuple(
@@ -212,10 +219,16 @@ class FlowEstimator(nn.Module):
             bs = tuple(
                 p[f"est{i}"]["Conv_0"]["bias"] for i in range(3)
             ) + (p["flow"]["bias"],)
-            delta = conv_chain_nhwc(
-                x, ws, bs, (True, True, True, False),
-                compute_dtype_name=self.cfg.compute_dtype,
-            )
+            relus = (True, True, True, False)
+            if self.cfg.fuse_estimator_train:
+                delta = conv_chain_nhwc_ad(
+                    x, ws, bs, relus, self.cfg.compute_dtype
+                )
+            else:
+                delta = conv_chain_nhwc(
+                    x, ws, bs, relus,
+                    compute_dtype_name=self.cfg.compute_dtype,
+                )
             return flow_up + delta
         for i, ch in enumerate((96, 64, 32)):
             x = ConvBlock(ch, 3, 1, dt, name=f"est{i}")(x)

@@ -131,6 +131,119 @@ class TestFusedConvStack:
         assert same_pads(416, 7, 2) == (208, 2, 3)
 
 
+class TestChainVJP:
+    """conv_chain_nhwc_ad: hand-written Pallas VJP vs jax.grad of the
+    XLA chain (forward + dx + dW + db)."""
+
+    def _xla_chain(self, x, weights, biases, relus):
+        y = x.astype(jnp.float32)
+        for w, b, r in zip(weights, biases, relus):
+            y = jax.lax.conv_general_dilated(
+                y, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            y = y + b
+            if r:
+                y = jax.nn.relu(y)
+        return y
+
+    def _setup(self, rng, chans, cin, B=2, H=8, W=12):
+        x = jnp.asarray(rng.normal(size=(B, H, W, cin)), jnp.float32)
+        ws, bs = [], []
+        c = cin
+        for co in chans:
+            ws.append(jnp.asarray(
+                rng.normal(size=(3, 3, c, co)) / np.sqrt(9 * c),
+                jnp.float32,
+            ))
+            bs.append(jnp.asarray(rng.normal(size=(co,)) * 0.01, jnp.float32))
+            c = co
+        # fixed cotangent so d/dargs of <out, cot> is a full VJP probe
+        return x, tuple(ws), tuple(bs)
+
+    @pytest.mark.parametrize("relus", [(True, True), (True, False)])
+    def test_grads_match_xla(self, rng, relus):
+        from davo_tpu.kernels.rowconv import conv_chain_nhwc_ad
+
+        x, ws, bs = self._setup(rng, (8, 16), 6)
+        cot = jnp.asarray(
+            rng.normal(size=(2, 8, 12, 16)), jnp.float32
+        )
+
+        def loss_fused(x, ws, bs):
+            out = conv_chain_nhwc_ad(x, ws, bs, relus, "float32")
+            return jnp.sum(out * cot)
+
+        def loss_xla(x, ws, bs):
+            return jnp.sum(self._xla_chain(x, ws, bs, relus) * cot)
+
+        out_f = conv_chain_nhwc_ad(x, ws, bs, relus, "float32")
+        out_x = self._xla_chain(x, ws, bs, relus)
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5
+        )
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ws, bs)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(x, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+    def test_estimator_shape_grads(self, rng):
+        """The production estimator chain shape (115->96/64/32/2)
+        at a reduced resolution, 4 layers, no final relu."""
+        from davo_tpu.kernels.rowconv import conv_chain_nhwc_ad
+
+        relus = (True, True, True, False)
+        x, ws, bs = self._setup(rng, (24, 16, 8, 2), 29, B=2, H=8, W=13)
+
+        def loss_fused(x, ws, bs):
+            return jnp.sum(
+                conv_chain_nhwc_ad(x, ws, bs, relus, "float32") ** 2
+            )
+
+        def loss_xla(x, ws, bs):
+            return jnp.sum(self._xla_chain(x, ws, bs, relus) ** 2)
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ws, bs)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(x, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+    def test_jit_and_batch_accumulation(self, rng):
+        """dW/db accumulate across the batch grid (not per-item
+        partials); B>1 grads under jit match XLA."""
+        from davo_tpu.kernels.rowconv import conv_chain_nhwc_ad
+
+        relus = (True, True)
+        x, ws, bs = self._setup(rng, (8, 8), 4, B=5, H=6, W=10)
+
+        @jax.jit
+        def g_fused(x, ws, bs):
+            return jax.grad(
+                lambda *a: jnp.sum(
+                    conv_chain_nhwc_ad(*a, relus, "float32")
+                ),
+                argnums=(1, 2),
+            )(x, ws, bs)
+
+        g_f = g_fused(x, ws, bs)
+        g_x = jax.grad(
+            lambda x, ws, bs: jnp.sum(self._xla_chain(x, ws, bs, relus)),
+            argnums=(1, 2),
+        )(x, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
 class TestStridedRowChain:
     """conv_chain_strided (rows-layout s2d formulation) vs XLA."""
 
@@ -245,6 +358,22 @@ class TestStridedRowChain:
             conv_chain_strided(
                 x, ws, bs, (2,), (True,), compute_dtype_name="float32"
             )
+
+    def test_bf16_compute_dtype_tolerance(self, rng):
+        """The production compute dtype (bf16 operands, f32 accum)
+        stays within bf16-class error of the f32 XLA reference."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided
+
+        x = jnp.asarray(rng.uniform(size=(2, 16, 24, 6)), jnp.float32)
+        ws, bs = self._make(rng, (7, 3, 3), (8, 16, 16), 6)
+        want = self._xla_stack(x, ws, bs, (2, 1, 2))
+        got = conv_chain_strided(
+            x, ws, bs, (2, 1, 2), (True,) * 3,
+            compute_dtype_name="bfloat16",
+        )
+        ref = np.asarray(want)
+        err = np.abs(np.asarray(got) - ref).max()
+        assert err / (np.abs(ref).max() + 1e-6) < 2e-2, err
 
     def test_taps_emit_pyramid_levels(self, rng):
         """taps: each tapped layer's output matches the XLA prefix."""

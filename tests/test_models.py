@@ -303,6 +303,49 @@ class TestFlowNet:
                     np.asarray(a), np.asarray(b), atol=5e-3
                 )
 
+    def test_fuse_estimator_train_grads_match_xla(self, batch):
+        """fuse_estimator_train (hand-written Pallas VJP) produces the
+        same flows AND parameter gradients as the XLA path."""
+        import dataclasses
+
+        model = FlowNetLite(CFG)
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        fused = FlowNetLite(
+            dataclasses.replace(CFG, fuse_estimator_train=True)
+        )
+
+        def loss(m):
+            def f(p):
+                flows = m.apply(
+                    p, batch["target"], batch["sources"][:, 0]
+                )
+                return sum(jnp.sum(fl**2) for fl in flows)
+
+            return f
+
+        ref_flows = model.apply(
+            params, batch["target"], batch["sources"][:, 0]
+        )
+        got_flows = fused.apply(
+            params, batch["target"], batch["sources"][:, 0]
+        )
+        for a, b in zip(ref_flows, got_flows):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4
+            )
+        g_ref = jax.grad(loss(model))(params)
+        g_got = jax.grad(loss(fused))(params)
+        leaves_r = jax.tree_util.tree_leaves_with_path(g_ref)
+        leaves_g = jax.tree_util.tree_leaves(g_got)
+        assert len(leaves_r) == len(leaves_g)
+        for (path, a), b in zip(leaves_r, leaves_g):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                err_msg=str(path),
+            )
+
     def test_fuse_pyramid_matches_xla_path(self, batch):
         """fuse_pyramid=True (whole feature ladder as one multi-output
         Pallas kernel) == the XLA path on the same params."""

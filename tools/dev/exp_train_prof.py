@@ -106,6 +106,10 @@ def main():
     if SMOKE:
         bench("smoke flow_seg B=2", full, 2)
         bench("smoke B=2 remat+sup", full, 2, remat=True, sup=100.0)
+        bench(
+            "smoke B=2 fuse_est_train",
+            dict(attention="flow_seg", fuse_estimator_train=True), 2,
+        )
         return
     fast = dict(
         attention="flow_seg", costvol_feat_channels=8, flow_search_range=3
@@ -116,6 +120,20 @@ def main():
     bench("davo B=16 supervised", full, 16, sup=100.0)
     bench("davo-fast B=16 photometric", fast, 16)
     bench("attention=none B=16", dict(attention="none"), 16, sup=100.0)
+    # Trainable fused estimator (hand-written Pallas VJP): fwd+bwd of
+    # all estimator chains each as one kernel. Independent try — a
+    # Mosaic rejection must not kill the sweep.
+    try:
+        bench(
+            "davo B=16 fuse_estimator_train",
+            dict(attention="flow_seg", fuse_estimator_train=True), 16,
+        )
+        bench(
+            "davo-fast B=16 fuse_est_train",
+            {**fast, "fuse_estimator_train": True}, 16,
+        )
+    except Exception as e:
+        print(f"fuse_estimator_train FAILED: {str(e)[:300]}", flush=True)
     # remat headroom: find the largest batch that fits each way.
     for batch in (64, 128):
         for remat in (False, True):
