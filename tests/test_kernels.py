@@ -215,6 +215,29 @@ class TestChainVJP:
                 np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
             )
 
+    def test_remat_compatible(self, rng):
+        """jax.checkpoint over the custom-VJP chain (train.remat wraps
+        the whole loss; the fused estimator must survive it)."""
+        from davo_tpu.kernels.rowconv import conv_chain_nhwc_ad
+
+        relus = (True, True)
+        x, ws, bs = self._setup(rng, (8, 8), 4, B=2, H=6, W=10)
+
+        @jax.checkpoint
+        def f(x, ws, bs):
+            return jnp.sum(conv_chain_nhwc_ad(x, ws, bs, relus, "float32"))
+
+        g_f = jax.grad(f, argnums=(0, 1, 2))(x, ws, bs)
+        g_x = jax.grad(
+            lambda x, ws, bs: jnp.sum(self._xla_chain(x, ws, bs, relus)),
+            argnums=(0, 1, 2),
+        )(x, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
     def test_jit_and_batch_accumulation(self, rng):
         """dW/db accumulate across the batch grid (not per-item
         partials); B>1 grads under jit match XLA."""

@@ -26,6 +26,10 @@ lets the rest report):
      r1 landmine list flags — bisected from s2d-alone (no dot) up to
      the 5-layer PoseEncoder prefix and the RegionAttention stack at
      production shapes, each timed vs XLA.
+  5. the hand-written VJP (conv_chain_nhwc_ad): fwd-with-residuals and
+     the one-kernel backward (P-contracted dW dots, grid-accumulated
+     outputs, transposed-tap dx) — grads vs jax.grad of the XLA chain
+     at production estimator shapes, fwd+bwd timed vs XLA.
 
 Run: tools/dev/tpu_run.sh tools/dev/exp_conv2d_chain.py 2400 3
 """
@@ -315,6 +319,87 @@ def phase4_strided():
         )
 
 
+def phase5_vjp():
+    print("== phase 5: fused-chain VJP ==", flush=True)
+    from davo_tpu.kernels.rowconv import conv_chain_nhwc_ad
+
+    rng = np.random.default_rng(5)
+    B, H, W = 8 if INTERP else 64, 32, 104
+    chans = [115, 96, 64, 32, 2]
+    relus = (True, True, True, False)
+    ws = tuple(
+        jnp.asarray(
+            rng.normal(0, 1, (3, 3, chans[i], chans[i + 1]))
+            / np.sqrt(9 * chans[i]),
+            jnp.float32,
+        )
+        for i in range(4)
+    )
+    bs = tuple(
+        jnp.asarray(rng.normal(0, 0.01, (chans[i + 1],)), jnp.float32)
+        for i in range(4)
+    )
+    x = jnp.asarray(rng.normal(0, 1, (B, H, W, chans[0])), jnp.float32)
+
+    def loss_fused(x, ws, bs):
+        return jnp.sum(conv_chain_nhwc_ad(x, ws, bs, relus, "bfloat16") ** 2)
+
+    def xla_bf16(x, ws, bs):
+        # apples-to-apples reference: bf16 operands, f32 accumulation
+        # (the fused kernel's compute recipe and ConvBlock's dtype).
+        y = x.astype(jnp.bfloat16)
+        for w, b, r in zip(ws, bs, relus):
+            y = jax.lax.conv_general_dilated(
+                y, w.astype(jnp.bfloat16), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = y + b.astype(jnp.bfloat16)
+            if r:
+                y = jax.nn.relu(y)
+        return y.astype(jnp.float32)
+
+    def loss_xla_bf16(x, ws, bs):
+        return jnp.sum(xla_bf16(x, ws, bs) ** 2)
+
+    def loss_xla(x, ws, bs):
+        return jnp.sum(xla_strided(x, ws, bs, (1,) * 4, relus) ** 2)
+
+    def worst_rel(got, ref):
+        w = 0.0
+        for a, b in zip(jax.tree_util.tree_leaves(got),
+                        jax.tree_util.tree_leaves(ref)):
+            a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+            w = max(w, np.abs(a - b).max() / (np.abs(b).max() + 1e-9))
+        return w
+
+    gf = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1, 2)))
+    gxb = jax.jit(jax.grad(loss_xla_bf16, argnums=(0, 1, 2)))
+    try:
+        got = jax.block_until_ready(gf(x, ws, bs))
+    except Exception as e:
+        print(f"vjp grad FAILED: {str(e)[:300]}", flush=True)
+        return
+    ref = gx(x, ws, bs)
+    # Yardstick: what the ordinary XLA mixed-precision path deviates
+    # from f32 ground truth — the fused VJP only needs to match that
+    # class, not exceed it.
+    print(
+        f"vjp grads OK: fused-bf16 vs f32 worst-rel={worst_rel(got, ref):.3e}"
+        f" | xla-bf16 yardstick={worst_rel(gxb(x, ws, bs), ref):.3e}",
+        flush=True,
+    )
+    if INTERP:
+        return
+    r_p = timed(gf, x, ws, bs, iters=10, loops=5)
+    r_x = timed(gx, x, ws, bs, iters=10, loops=5)
+    print(
+        f"estimator fwd+bwd (B={B}): pallas-vjp {r_p['ms']:.3f} ms "
+        f"vs XLA {r_x['ms']:.3f} ms",
+        flush=True,
+    )
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     try:
@@ -333,6 +418,10 @@ def main():
         phase4_strided()
     except Exception as e:
         print("phase4 crashed:", str(e)[:300], flush=True)
+    try:
+        phase5_vjp()
+    except Exception as e:
+        print("phase5 crashed:", str(e)[:300], flush=True)
 
 
 if __name__ == "__main__":
