@@ -78,6 +78,12 @@ class ModelConfig:
     # flow_est_bottleneck == 0. Supersedes fuse_estimator +
     # costvol_impl="pallas_rows" when set.
     fuse_flow_level: bool = False
+    # TRAINABLE whole-flow-level fusion: flow_level_fused_ad runs the
+    # same one-kernel level with a hand-written VJP (backward = chain
+    # reverse + cost-volume transpose to BOTH feature maps, one
+    # kernel). Grads == XLA composite (tests). Requires
+    # flow_est_bottleneck == 0; may be on during training.
+    fuse_flow_level_train: bool = False
     # Serving-only: run the PoseEncoder's stride-2 stack (the even-dim
     # fusable prefix — 5 of 7 layers at 128x416) as ONE Pallas kernel
     # (kernels/rowconv.conv_chain_strided, in-kernel space-to-depth);

@@ -109,6 +109,32 @@ def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
     out_ref[0] = x.astype(out_ref.dtype)
 
 
+def _rows_costvol(f1, f2_ref, cv_scratch, width, search):
+    """Masked, ReLU'd correlation columns in rows layout.
+
+    f1 (P, C) f32 value; f2 read from its ref into the zero-padded
+    cv_scratch; returns (2*search+1)^2 (P, 1) columns — the fwd body
+    shared by `_flow_level_kernel` and its VJP variant.
+    """
+    P, C = f1.shape
+    pad_cv = search * width + search
+    cv_scratch[0:pad_cv, :] = jnp.zeros((pad_cv, C), jnp.float32)
+    cv_scratch[pad_cv : pad_cv + P, :] = f2_ref[0].astype(jnp.float32)
+    cv_scratch[pad_cv + P : 2 * pad_cv + P, :] = jnp.zeros(
+        (pad_cv, C), jnp.float32
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
+    cols = []
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            off = pad_cv + dy * width + dx
+            tap = cv_scratch[off : off + P, :]
+            corr = jnp.sum(f1 * tap, axis=1, keepdims=True) / C
+            valid = jnp.logical_and(col >= -dx, col < width - dx)
+            cols.append(jnp.where(valid, jnp.maximum(corr, 0.0), 0.0))
+    return cols
+
+
 def _flow_level_kernel(
     *refs, height, width, search, n_layers, relus, compute_dtype
 ):
@@ -126,26 +152,10 @@ def _flow_level_kernel(
     out_ref = refs[4 + 2 * n_layers]
     cv_scratch = refs[5 + 2 * n_layers]
     scratch = refs[6 + 2 * n_layers]
-    P = height * width
-    C = f1_ref.shape[2]
 
-    # --- cost volume (rows layout, matmul-free; kernels/costvol.py) ---
-    pad_cv = search * width + search
-    f1 = f1_ref[0].astype(jnp.float32)
-    cv_scratch[0:pad_cv, :] = jnp.zeros((pad_cv, C), jnp.float32)
-    cv_scratch[pad_cv : pad_cv + P, :] = f2_ref[0].astype(jnp.float32)
-    cv_scratch[pad_cv + P : 2 * pad_cv + P, :] = jnp.zeros(
-        (pad_cv, C), jnp.float32
+    cols = _rows_costvol(
+        f1_ref[0].astype(jnp.float32), f2_ref, cv_scratch, width, search
     )
-    col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
-    cols = []
-    for dy in range(-search, search + 1):
-        for dx in range(-search, search + 1):
-            off = pad_cv + dy * width + dx
-            tap = cv_scratch[off : off + P, :]
-            corr = jnp.sum(f1 * tap, axis=1, keepdims=True) / C
-            valid = jnp.logical_and(col >= -dx, col < width - dx)
-            cols.append(jnp.where(valid, jnp.maximum(corr, 0.0), 0.0))
 
     # --- estimator input: concat([relu(cv), feat, flow_up], ch) ---
     x = jnp.concatenate(
@@ -638,15 +648,33 @@ def _chain_bwd_kernel(*refs, height, width, n_layers, relus, compute_dtype):
         for r in list(dw_refs) + list(db_refs):
             r[...] = jnp.zeros(r.shape, r.dtype)
 
-    P = height * width
+    acts = [r[0] for r in a_refs]
+    dx = _run_3x3_chain_bwd(
+        dy_ref[0].astype(jnp.float32), acts, w_refs, dw_refs, db_refs,
+        scratch_in, scratch_dx, width, relus,
+    )
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _run_3x3_chain_bwd(
+    dy, acts, w_refs, dw_refs, db_refs, scratch_in, scratch_dx, width,
+    relus,
+):
+    """Reverse pass over a stride-1 3x3 chain; returns d(acts[0]).
+
+    acts = [a_0 (chain input), a_1..a_n (post-activation outputs)] as
+    (P, C) values; dW/db are accumulated (+=) into their refs. Shared
+    by `_chain_bwd_kernel` and the flow-level backward.
+    """
+    n_layers = len(relus)
+    P = acts[0].shape[0]
     pad = width + 1
     col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
     mask_l = (col >= 1).astype(jnp.float32)
     mask_r = (col < width - 1).astype(jnp.float32)
-    dy = dy_ref[0].astype(jnp.float32)
     for layer in reversed(range(n_layers)):
-        a_in = a_refs[layer][0].astype(jnp.float32)
-        a_out = a_refs[layer + 1][0]
+        a_in = acts[layer].astype(jnp.float32)
+        a_out = acts[layer + 1]
         dz = dy
         if relus[layer]:
             dz = dz * (a_out > 0).astype(jnp.float32)
@@ -686,7 +714,7 @@ def _chain_bwd_kernel(*refs, height, width, n_layers, relus, compute_dtype):
                     u = u * mask_r
                 scratch_dx[pad + off : pad + off + P, :cin] += u
         dy = scratch_dx[pad : pad + P, :cin]
-    dx_ref[0] = dy.astype(dx_ref.dtype)
+    return dy
 
 
 def _chain_fwd_all(x, weights, biases, relus, compute_dtype_name):
@@ -846,3 +874,334 @@ def _chain_ad_bwd(relus, compute_dtype_name, res, g):
 
 
 conv_chain_nhwc_ad.defvjp(_chain_ad_fwd, _chain_ad_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused flow level: cost volume + concat + estimator
+# chain with a hand-written VJP (one kernel forward, one backward).
+# ---------------------------------------------------------------------------
+
+def _flow_level_fwd_ad_kernel(
+    *refs, height, width, search, n_layers, relus, compute_dtype
+):
+    """Forward emitting the ReLU'd cost volume and every chain
+    activation (VJP residuals).
+
+    refs = [f1, f2, feat, flow_up, (w, b) * n, cv_out, act * n,
+            cv_scratch, chain_scratch].
+    """
+    f1_ref, f2_ref, feat_ref, flow_ref = refs[:4]
+    wb_refs = refs[4 : 4 + 2 * n_layers]
+    cv_ref = refs[4 + 2 * n_layers]
+    act_refs = refs[5 + 2 * n_layers : 5 + 3 * n_layers]
+    cv_scratch = refs[5 + 3 * n_layers]
+    scratch = refs[6 + 3 * n_layers]
+
+    cols = _rows_costvol(
+        f1_ref[0].astype(jnp.float32), f2_ref, cv_scratch, width, search
+    )
+    cv = jnp.concatenate(cols, axis=1)
+    cv_ref[0] = cv
+    x = jnp.concatenate(
+        [
+            cv,
+            feat_ref[0].astype(jnp.float32),
+            flow_ref[0].astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(compute_dtype)
+    _run_3x3_chain(
+        x, wb_refs, scratch, width, relus, compute_dtype,
+        act_refs=act_refs,
+    )
+
+
+def _flow_level_bwd_kernel(
+    *refs, height, width, search, n_layers, relus, compute_dtype
+):
+    """Backward for the fused flow level, one kernel.
+
+    refs = [f1, f2, feat, flow_up, cv, act * n, dy,
+            w_0..w_{n-1} ((9, Cin, Cout) f32),
+            df1, df2, dfeat, dflow, dw * n, db * n,
+            scratch_in, scratch_dx, cv_scratch, df2_scratch].
+
+    Chain backward via `_run_3x3_chain_bwd` (the estimator input a_0 =
+    concat(cv, feat, flow_up) is rebuilt from residuals), then the
+    cost-volume backward: per displacement d, with the relu+valid gate
+    g_d = dcv_d * (cv_d > 0) / C,
+      df1  += g_d * f2w[p + d]            (tap reads of padded f2w)
+      df2w[p + d] += g_d * f1[p]          (transposed-tap scatter-add)
+    """
+    f1_ref, f2_ref, feat_ref, flow_ref = refs[:4]
+    cv_ref = refs[4]
+    act_refs = refs[5 : 5 + n_layers]
+    dy_ref = refs[5 + n_layers]
+    w_refs = refs[6 + n_layers : 6 + 2 * n_layers]
+    df1_ref = refs[6 + 2 * n_layers]
+    df2_ref = refs[7 + 2 * n_layers]
+    dfeat_ref = refs[8 + 2 * n_layers]
+    dflow_ref = refs[9 + 2 * n_layers]
+    dw_refs = refs[10 + 2 * n_layers : 10 + 3 * n_layers]
+    db_refs = refs[10 + 3 * n_layers : 10 + 4 * n_layers]
+    scratch_in = refs[10 + 4 * n_layers]
+    scratch_dx = refs[11 + 4 * n_layers]
+    cv_scratch = refs[12 + 4 * n_layers]
+    df2_scratch = refs[13 + 4 * n_layers]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        for r in list(dw_refs) + list(db_refs):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    P = height * width
+    C = f1_ref.shape[2]
+    D = (2 * search + 1) ** 2
+    Cf = feat_ref.shape[2]
+
+    cv = cv_ref[0]
+    feat = feat_ref[0].astype(jnp.float32)
+    flow_up = flow_ref[0].astype(jnp.float32)
+    a0 = jnp.concatenate([cv, feat, flow_up], axis=1)
+    acts = [a0] + [r[0] for r in act_refs]
+    da0 = _run_3x3_chain_bwd(
+        dy_ref[0].astype(jnp.float32), acts, w_refs, dw_refs, db_refs,
+        scratch_in, scratch_dx, width, relus,
+    )
+    dcv = da0[:, :D]
+    dfeat_ref[0] = da0[:, D : D + Cf].astype(dfeat_ref.dtype)
+    dflow_ref[0] = da0[:, D + Cf :].astype(dflow_ref.dtype)
+
+    # --- cost volume backward ---
+    pad_cv = search * width + search
+    f1 = f1_ref[0].astype(jnp.float32)
+    # padded f2 for the forward-direction taps
+    cv_scratch[0:pad_cv, :] = jnp.zeros((pad_cv, C), jnp.float32)
+    cv_scratch[pad_cv : pad_cv + P, :] = f2_ref[0].astype(jnp.float32)
+    cv_scratch[pad_cv + P : 2 * pad_cv + P, :] = jnp.zeros(
+        (pad_cv, C), jnp.float32
+    )
+    # df2 accumulates in its own padded scratch (transposed taps)
+    df2_scratch[...] = jnp.zeros(df2_scratch.shape, jnp.float32)
+    df1 = jnp.zeros((P, C), jnp.float32)
+    t = 0
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            off = pad_cv + dy * width + dx
+            # relu' and the valid mask are both encoded in cv > 0
+            # (invalid or negative-corr slots are exactly 0 and their
+            # gradient is 0; corr == 0 has measure zero).
+            g = dcv[:, t : t + 1] * (cv[:, t : t + 1] > 0).astype(
+                jnp.float32
+            ) * (1.0 / C)
+            df1 += g * cv_scratch[off : off + P, :]
+            df2_scratch[off : off + P, :] += g * f1
+            t += 1
+    df1_ref[0] = df1.astype(df1_ref.dtype)
+    df2_ref[0] = df2_scratch[pad_cv : pad_cv + P, :].astype(
+        df2_ref.dtype
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def flow_level_fused_ad(
+    f1, f2, feat, flow_up, weights, biases, search, relus,
+    compute_dtype_name="bfloat16",
+):
+    """Differentiable fused flow level (training path).
+
+    Same semantics as `flow_level_fused` (cost volume + ReLU + concat
+    + estimator chain, returns the DELTA flow), with a hand-written
+    VJP: one forward kernel (residuals: ReLU'd cost volume + per-layer
+    activations) and one backward kernel (chain backward + the
+    cost-volume transpose back to both feature maps).
+
+    STATUS: interpret-validated vs jax.grad of the XLA composite
+    (tests/test_kernels.py::TestFlowLevelVJP); hardware arms ride
+    exp_train_prof.py (fuse_flow_level_train).
+    """
+    outs = _flow_level_fwd_all(
+        f1, f2, feat, flow_up, weights, biases, search, relus,
+        compute_dtype_name,
+    )
+    B, H, W, _ = f1.shape
+    return outs[-1].reshape(B, H, W, weights[-1].shape[3])
+
+
+def _flow_level_fwd_all(
+    f1, f2, feat, flow_up, weights, biases, search, relus,
+    compute_dtype_name,
+):
+    B, H, W, C = f1.shape
+    P = H * W
+    D = (2 * search + 1) ** 2
+    n_layers = len(relus)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    cin0 = D + feat.shape[3] + flow_up.shape[3]
+    assert weights[0].shape[2] == cin0, (weights[0].shape, cin0)
+    cmax = max([cin0] + [w.shape[3] for w in weights])
+    pad_cv = search * W + search
+    wb = []
+    wb_specs = []
+    for w, b in zip(weights, biases):
+        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        wb.extend([w9, b.astype(jnp.float32)[None]])
+        for arr in wb[-2:]:
+            wb_specs.append(
+                pl.BlockSpec(
+                    arr.shape,
+                    partial(lambda nd, i: (0,) * nd, arr.ndim),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+    out_shapes = [jax.ShapeDtypeStruct((B, P, D), jnp.float32)] + [
+        jax.ShapeDtypeStruct((B, P, w.shape[3]), jnp.float32)
+        for w in weights
+    ]
+    return pl.pallas_call(
+        partial(
+            _flow_level_fwd_ad_kernel, height=H, width=W, search=search,
+            n_layers=n_layers, relus=relus, compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, P, a.shape[-1]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for a in (f1, f2, feat, flow_up)
+        ]
+        + wb_specs,
+        out_specs=[
+            pl.BlockSpec(
+                (1, s.shape[1], s.shape[2]), lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for s in out_shapes
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((P + 2 * pad_cv, C), jnp.float32),
+            pltpu.VMEM((P + 2 * (W + 1), cmax), compute_dtype),
+        ],
+        interpret=_interpret(),
+    )(
+        f1.reshape(B, P, C),
+        f2.reshape(B, P, C),
+        feat.reshape(B, P, feat.shape[3]),
+        flow_up.reshape(B, P, flow_up.shape[3]),
+        *wb,
+    )
+
+
+def _flow_level_ad_fwd(
+    f1, f2, feat, flow_up, weights, biases, search, relus,
+    compute_dtype_name,
+):
+    outs = _flow_level_fwd_all(
+        f1, f2, feat, flow_up, weights, biases, search, relus,
+        compute_dtype_name,
+    )
+    B, H, W, _ = f1.shape
+    out = outs[-1].reshape(B, H, W, weights[-1].shape[3])
+    res = (f1, f2, feat, flow_up, outs[0], outs[1:], tuple(weights))
+    return out, res
+
+
+def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
+    f1, f2, feat, flow_up, cv, acts, weights = res
+    B, H, W, C = f1.shape
+    P = H * W
+    D = (2 * search + 1) ** 2
+    Cf = feat.shape[3]
+    n_layers = len(relus)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    cin0 = D + Cf + flow_up.shape[3]
+    cmax = max([cin0] + [w.shape[3] for w in weights])
+    pad_cv = search * W + search
+    w9s = [
+        w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        for w in weights
+    ]
+    const_spec = lambda arr: pl.BlockSpec(
+        arr.shape,
+        partial(lambda nd, i: (0,) * nd, arr.ndim),
+        memory_space=pltpu.VMEM,
+    )
+    item_spec = lambda c: pl.BlockSpec(
+        (1, P, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    ins = [
+        f1.reshape(B, P, C),
+        f2.reshape(B, P, C),
+        feat.reshape(B, P, Cf),
+        flow_up.reshape(B, P, flow_up.shape[3]),
+        cv,
+        *acts,
+        g.reshape(B, P, weights[-1].shape[3]),
+    ]
+    outs = pl.pallas_call(
+        partial(
+            _flow_level_bwd_kernel, height=H, width=W, search=search,
+            n_layers=n_layers, relus=relus, compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[item_spec(a.shape[-1]) for a in ins]
+        + [const_spec(w9) for w9 in w9s],
+        out_specs=[
+            item_spec(C), item_spec(C), item_spec(Cf),
+            item_spec(flow_up.shape[3]),
+        ]
+        + [const_spec(w9) for w9 in w9s]
+        + [
+            const_spec(jnp.zeros((1, w.shape[3]), jnp.float32))
+            for w in weights
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, Cf), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, flow_up.shape[3]), jnp.float32),
+        ]
+        + [jax.ShapeDtypeStruct(w9.shape, jnp.float32) for w9 in w9s]
+        + [
+            jax.ShapeDtypeStruct((1, w.shape[3]), jnp.float32)
+            for w in weights
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32),
+            pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32),
+            pltpu.VMEM((P + 2 * pad_cv, C), jnp.float32),
+            pltpu.VMEM((P + 2 * pad_cv, C), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(*ins, *w9s)
+    df1, df2, dfeat, dflow = outs[:4]
+    dws = tuple(
+        outs[4 + i].reshape(3, 3, *weights[i].shape[2:]).astype(
+            weights[i].dtype
+        )
+        for i in range(n_layers)
+    )
+    dbs = tuple(
+        outs[4 + n_layers + i][0].astype(weights[i].dtype)
+        for i in range(n_layers)
+    )
+    shape4 = lambda a, c: a.reshape(B, H, W, c)
+    return (
+        shape4(df1, C).astype(f1.dtype),
+        shape4(df2, C).astype(f2.dtype),
+        shape4(dfeat, Cf).astype(feat.dtype),
+        shape4(dflow, flow_up.shape[3]).astype(flow_up.dtype),
+        dws,
+        dbs,
+    )
+
+
+flow_level_fused_ad.defvjp(_flow_level_ad_fwd, _flow_level_ad_bwd)

@@ -311,15 +311,23 @@ class FlowNetLite(nn.Module):
                 proj = self.cv_projs[level - 1]
                 f1c, f2c = proj(f1), proj(f2w)
             if (
-                self.cfg.fuse_flow_level
+                (
+                    self.cfg.fuse_flow_level
+                    or self.cfg.fuse_flow_level_train
+                )
                 and not self.is_initializing()
                 and self.cfg.flow_est_bottleneck == 0
             ):
-                # Serving fast path: costvol + relu + concat + the
+                # Fused fast path: costvol + relu + concat + the
                 # whole estimator chain as ONE kernel for this level
-                # (kernels/rowconv.flow_level_fused), reading the same
-                # params the XLA path trains. No VJP — serving only.
-                from davo_tpu.kernels.rowconv import flow_level_fused
+                # (kernels/rowconv), reading the same params the XLA
+                # path trains. fuse_flow_level has no VJP (serving
+                # only); fuse_flow_level_train uses the hand-written-
+                # VJP variant and may be on during training.
+                from davo_tpu.kernels.rowconv import (
+                    flow_level_fused,
+                    flow_level_fused_ad,
+                )
 
                 p = self.variables["params"][f"estimator{level}"]
                 ws = tuple(
@@ -328,11 +336,17 @@ class FlowNetLite(nn.Module):
                 bs = tuple(
                     p[f"est{i}"]["Conv_0"]["bias"] for i in range(3)
                 ) + (p["flow"]["bias"],)
-                delta = flow_level_fused(
-                    f1c, f2c, f1, flow_up, ws, bs, search,
-                    (True, True, True, False),
-                    compute_dtype_name=self.cfg.compute_dtype,
-                )
+                relus = (True, True, True, False)
+                if self.cfg.fuse_flow_level_train:
+                    delta = flow_level_fused_ad(
+                        f1c, f2c, f1, flow_up, ws, bs, search, relus,
+                        self.cfg.compute_dtype,
+                    )
+                else:
+                    delta = flow_level_fused(
+                        f1c, f2c, f1, flow_up, ws, bs, search, relus,
+                        compute_dtype_name=self.cfg.compute_dtype,
+                    )
                 flow = flow_up + delta
             else:
                 cv = nn.relu(

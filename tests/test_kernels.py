@@ -267,6 +267,121 @@ class TestChainVJP:
             )
 
 
+class TestFlowLevelVJP:
+    """flow_level_fused_ad: hand-written VJP for the whole flow level
+    (cost volume + concat + chain) vs jax.grad of the XLA composite."""
+
+    SEARCH = 2
+
+    def _xla_level(self, f1, f2, feat, flow_up, ws, bs, relus):
+        from davo_tpu.models.flownet import cost_volume
+
+        cv = jax.nn.relu(cost_volume(f1, f2, self.SEARCH))
+        x = jnp.concatenate([cv, feat, flow_up], axis=-1)
+        for w, b, r in zip(ws, bs, relus):
+            x = jax.lax.conv_general_dilated(
+                x, w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            x = x + b
+            if r:
+                x = jax.nn.relu(x)
+        return x
+
+    def _setup(self, rng, B=2, H=6, W=10, C=5, Cf=7):
+        D = (2 * self.SEARCH + 1) ** 2
+        f1 = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+        f2 = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+        feat = jnp.asarray(rng.normal(size=(B, H, W, Cf)), jnp.float32)
+        flow_up = jnp.asarray(
+            rng.normal(size=(B, H, W, 2)), jnp.float32
+        )
+        chans = (8, 8, 2)
+        ws, bs = [], []
+        c = D + Cf + 2
+        for co in chans:
+            ws.append(jnp.asarray(
+                rng.normal(size=(3, 3, c, co)) / np.sqrt(9 * c),
+                jnp.float32,
+            ))
+            bs.append(jnp.asarray(rng.normal(size=(co,)) * 0.01, jnp.float32))
+            c = co
+        return f1, f2, feat, flow_up, tuple(ws), tuple(bs)
+
+    def test_forward_matches_xla(self, rng):
+        from davo_tpu.kernels.rowconv import flow_level_fused_ad
+
+        f1, f2, feat, flow_up, ws, bs = self._setup(rng)
+        relus = (True, True, False)
+        got = flow_level_fused_ad(
+            f1, f2, feat, flow_up, ws, bs, self.SEARCH, relus, "float32"
+        )
+        want = self._xla_level(f1, f2, feat, flow_up, ws, bs, relus)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_grads_match_xla(self, rng):
+        from davo_tpu.kernels.rowconv import flow_level_fused_ad
+
+        f1, f2, feat, flow_up, ws, bs = self._setup(rng)
+        relus = (True, True, False)
+        cot = jnp.asarray(rng.normal(size=(2, 6, 10, 2)), jnp.float32)
+
+        def loss_fused(f1, f2, feat, flow_up, ws, bs):
+            out = flow_level_fused_ad(
+                f1, f2, feat, flow_up, ws, bs, self.SEARCH, relus,
+                "float32",
+            )
+            return jnp.sum(out * cot)
+
+        def loss_xla(f1, f2, feat, flow_up, ws, bs):
+            return jnp.sum(
+                self._xla_level(f1, f2, feat, flow_up, ws, bs, relus)
+                * cot
+            )
+
+        args = (f1, f2, feat, flow_up, ws, bs)
+        g_f = jax.grad(loss_fused, argnums=tuple(range(6)))(*args)
+        g_x = jax.grad(loss_xla, argnums=tuple(range(6)))(*args)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+    def test_grads_under_jit_batched(self, rng):
+        """B>2 under jit: dW/db grid accumulation + all six grads."""
+        from davo_tpu.kernels.rowconv import flow_level_fused_ad
+
+        f1, f2, feat, flow_up, ws, bs = self._setup(rng, B=4)
+        relus = (True, True, False)
+
+        @jax.jit
+        def g_fused(f1, f2, feat, flow_up, ws, bs):
+            return jax.grad(
+                lambda *a: jnp.sum(
+                    flow_level_fused_ad(
+                        *a, self.SEARCH, relus, "float32"
+                    )
+                    ** 2
+                ),
+                argnums=tuple(range(6)),
+            )(f1, f2, feat, flow_up, ws, bs)
+
+        g_f = g_fused(f1, f2, feat, flow_up, ws, bs)
+        g_x = jax.grad(
+            lambda *a: jnp.sum(self._xla_level(*a, relus) ** 2),
+            argnums=tuple(range(6)),
+        )(f1, f2, feat, flow_up, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+
 class TestStridedRowChain:
     """conv_chain_strided (rows-layout s2d formulation) vs XLA."""
 

@@ -346,6 +346,56 @@ class TestFlowNet:
                 err_msg=str(path),
             )
 
+    def test_fuse_flow_level_train_grads_match_xla(self, batch):
+        """fuse_flow_level_train (whole-level hand-written VJP,
+        incl. the cost-volume transpose) produces the same flows and
+        parameter gradients as the XLA path — with and without the
+        learned correlation projection (grads must also flow through
+        cv_proj via df1c/df2c)."""
+        import dataclasses
+
+        for extra in ({}, {"costvol_feat_channels": 8}):
+            cfg = dataclasses.replace(CFG, **extra)
+            model = FlowNetLite(cfg)
+            params = model.init(
+                jax.random.key(0), batch["target"], batch["sources"][:, 0]
+            )
+            fused = FlowNetLite(
+                dataclasses.replace(cfg, fuse_flow_level_train=True)
+            )
+
+            def loss(m):
+                def f(p):
+                    flows = m.apply(
+                        p, batch["target"], batch["sources"][:, 0]
+                    )
+                    return sum(jnp.sum(fl**2) for fl in flows)
+
+                return f
+
+            got_flows = fused.apply(
+                params, batch["target"], batch["sources"][:, 0]
+            )
+            ref_flows = model.apply(
+                params, batch["target"], batch["sources"][:, 0]
+            )
+            for a, b in zip(ref_flows, got_flows):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-4
+                )
+            g_ref = jax.tree_util.tree_leaves_with_path(
+                jax.grad(loss(model))(params)
+            )
+            g_got = jax.tree_util.tree_leaves(
+                jax.grad(loss(fused))(params)
+            )
+            assert len(g_ref) == len(g_got)
+            for (path, a), b in zip(g_ref, g_got):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                    err_msg=f"{extra} {path}",
+                )
+
     def test_fuse_pyramid_matches_xla_path(self, batch):
         """fuse_pyramid=True (whole feature ladder as one multi-output
         Pallas kernel) == the XLA path on the same params."""

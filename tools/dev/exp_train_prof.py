@@ -110,6 +110,10 @@ def main():
             "smoke B=2 fuse_est_train",
             dict(attention="flow_seg", fuse_estimator_train=True), 2,
         )
+        bench(
+            "smoke B=2 fuse_level_train",
+            dict(attention="flow_seg", fuse_flow_level_train=True), 2,
+        )
         return
     fast = dict(
         attention="flow_seg", costvol_feat_channels=8, flow_search_range=3
@@ -134,6 +138,18 @@ def main():
         )
     except Exception as e:
         print(f"fuse_estimator_train FAILED: {str(e)[:300]}", flush=True)
+    # Whole-flow-level training fusion (costvol bwd included).
+    try:
+        bench(
+            "davo B=16 fuse_flow_level_train",
+            dict(attention="flow_seg", fuse_flow_level_train=True), 16,
+        )
+        bench(
+            "davo-fast B=16 fuse_level_train",
+            {**fast, "fuse_flow_level_train": True}, 16,
+        )
+    except Exception as e:
+        print(f"fuse_flow_level_train FAILED: {str(e)[:300]}", flush=True)
     # remat headroom: find the largest batch that fits each way.
     for batch in (64, 128):
         for remat in (False, True):
