@@ -38,6 +38,28 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _const_spec(shape) -> pl.BlockSpec:
+    """BlockSpec for an operand every grid step sees whole (weights,
+    grid-accumulated grads)."""
+    return pl.BlockSpec(
+        tuple(shape),
+        partial(lambda nd, i: (0,) * nd, len(shape)),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _wb_and_specs(weights, biases):
+    """(9, Cin, Cout) f32 tap weights + (1, Cout) biases, interleaved,
+    with their BlockSpecs — the operand packing every chain kernel
+    shares."""
+    wb, specs = [], []
+    for w, b in zip(weights, biases):
+        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
+        wb.extend([w9, b.astype(jnp.float32)[None]])
+        specs.extend([_const_spec(w9.shape), _const_spec((1, w.shape[3]))])
+    return wb, specs
+
+
 def _run_3x3_chain(
     x, wb_refs, scratch, width, relus, compute_dtype, act_refs=None
 ):
@@ -206,19 +228,7 @@ def flow_level_fused(
     cmax = max([cin0] + [w.shape[3] for w in weights])
     cout = weights[-1].shape[3]
     pad_cv = search * W + search
-    wb = []
-    wb_specs = []
-    for w, b in zip(weights, biases):
-        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
-        wb.extend([w9, b.astype(jnp.float32)[None]])
-        for arr in wb[-2:]:
-            wb_specs.append(
-                pl.BlockSpec(
-                    arr.shape,
-                    partial(lambda nd, i: (0,) * nd, arr.ndim),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+    wb, wb_specs = _wb_and_specs(weights, biases)
     flops = 2 * B * D * P * C
     cin = cin0
     for w in weights:
@@ -459,14 +469,7 @@ def conv_chain_strided(
             pltpu.VMEM((P_i + pad_b + pad_a, w9.shape[1]), compute_dtype)
         )
         wb.extend([w9, biases[i].astype(jnp.float32)[None]])
-    wb_specs = [
-        pl.BlockSpec(
-            arr.shape,
-            partial(lambda nd, i: (0,) * nd, arr.ndim),
-            memory_space=pltpu.VMEM,
-        )
-        for arr in wb
-    ]
+    wb_specs = [_const_spec(arr.shape) for arr in wb]
     single = taps is None
     taps_t = (n_layers - 1,) if single else tuple(taps)
     assert all(0 <= t < n_layers for t in taps_t) and sorted(
@@ -548,19 +551,7 @@ def conv_chain_nhwc(
     }[compute_dtype_name]
     cmax = max([C0] + [w.shape[3] for w in weights])
     cout = weights[-1].shape[3]
-    wb = []
-    wb_specs = []
-    for w, b in zip(weights, biases):
-        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
-        wb.extend([w9, b.astype(jnp.float32)[None]])
-        for arr in wb[-2:]:
-            wb_specs.append(
-                pl.BlockSpec(
-                    arr.shape,
-                    partial(lambda nd, i: (0,) * nd, arr.ndim),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+    wb, wb_specs = _wb_and_specs(weights, biases)
     flops = 0
     cin = C0
     for w in weights:
@@ -726,19 +717,7 @@ def _chain_fwd_all(x, weights, biases, relus, compute_dtype_name):
         "bfloat16": jnp.bfloat16, "float32": jnp.float32
     }[compute_dtype_name]
     cmax = max([C0] + [w.shape[3] for w in weights])
-    wb = []
-    wb_specs = []
-    for w, b in zip(weights, biases):
-        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
-        wb.extend([w9, b.astype(jnp.float32)[None]])
-        for arr in wb[-2:]:
-            wb_specs.append(
-                pl.BlockSpec(
-                    arr.shape,
-                    partial(lambda nd, i: (0,) * nd, arr.ndim),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+    wb, wb_specs = _wb_and_specs(weights, biases)
     acts = pl.pallas_call(
         partial(
             _chain_fwd_kernel, height=H, width=W, n_layers=n_layers,
@@ -785,20 +764,23 @@ def conv_chain_nhwc_ad(
     (tests/test_kernels.py::TestChainVJP); hardware validation rides
     exp_conv2d_chain.py phase 5.
     """
-    B, H, W, _ = x.shape
-    acts = _chain_fwd_all(x, weights, biases, relus, compute_dtype_name)
-    return acts[-1].reshape(B, H, W, weights[-1].shape[3])
+    # Primal (non-differentiated call): the serving kernel — no
+    # residual activations written to HBM.
+    return conv_chain_nhwc(
+        x, tuple(weights), tuple(biases), relus,
+        compute_dtype_name=compute_dtype_name,
+    )
 
 
 def _chain_ad_fwd(x, weights, biases, relus, compute_dtype_name):
     B, H, W, _ = x.shape
     acts = _chain_fwd_all(x, weights, biases, relus, compute_dtype_name)
     out = acts[-1].reshape(B, H, W, weights[-1].shape[3])
-    return out, (x, acts, tuple(weights))
+    return out, (x, acts, tuple(weights), tuple(biases))
 
 
 def _chain_ad_bwd(relus, compute_dtype_name, res, g):
-    x, acts, weights = res
+    x, acts, weights, biases = res
     B, H, W, C0 = x.shape
     P = H * W
     n_layers = len(relus)
@@ -810,11 +792,6 @@ def _chain_ad_bwd(relus, compute_dtype_name, res, g):
         w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
         for w in weights
     ]
-    const_spec = lambda arr: pl.BlockSpec(
-        arr.shape,
-        partial(lambda nd, i: (0,) * nd, arr.ndim),
-        memory_space=pltpu.VMEM,
-    )
     a_ins = [x.reshape(B, P, C0)] + [a for a in acts]
     dx, *dwdb = pl.pallas_call(
         partial(
@@ -835,17 +812,14 @@ def _chain_ad_bwd(relus, compute_dtype_name, res, g):
                 memory_space=pltpu.VMEM,
             )
         ]
-        + [const_spec(w9) for w9 in w9s],
+        + [_const_spec(w9.shape) for w9 in w9s],
         out_specs=[
             pl.BlockSpec(
                 (1, P, C0), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             )
         ]
-        + [const_spec(w9) for w9 in w9s]
-        + [
-            const_spec(jnp.zeros((1, w.shape[3]), jnp.float32))
-            for w in weights
-        ],
+        + [_const_spec(w9.shape) for w9 in w9s]
+        + [_const_spec((1, w.shape[3])) for w in weights],
         out_shape=[jax.ShapeDtypeStruct((B, P, C0), jnp.float32)]
         + [
             jax.ShapeDtypeStruct(w9.shape, jnp.float32) for w9 in w9s
@@ -867,10 +841,12 @@ def _chain_ad_bwd(relus, compute_dtype_name, res, g):
         for i in range(n_layers)
     )
     dbs = tuple(
-        dwdb[n_layers + i][0].astype(weights[i].dtype)
+        dwdb[n_layers + i][0].astype(biases[i].dtype)
         for i in range(n_layers)
     )
-    return (dx.reshape(B, H, W, C0), dws, dbs)
+    # Cotangent dtypes must match the primals (x may be bf16 when the
+    # chain input is built in the model's compute dtype).
+    return (dx.reshape(B, H, W, C0).astype(x.dtype), dws, dbs)
 
 
 conv_chain_nhwc_ad.defvjp(_chain_ad_fwd, _chain_ad_bwd)
@@ -1022,12 +998,12 @@ def flow_level_fused_ad(
     (tests/test_kernels.py::TestFlowLevelVJP); hardware arms ride
     exp_train_prof.py (fuse_flow_level_train).
     """
-    outs = _flow_level_fwd_all(
-        f1, f2, feat, flow_up, weights, biases, search, relus,
-        compute_dtype_name,
+    # Primal (non-differentiated call): the serving kernel — no
+    # residuals written to HBM.
+    return flow_level_fused(
+        f1, f2, feat, flow_up, tuple(weights), tuple(biases), search,
+        relus, compute_dtype_name=compute_dtype_name,
     )
-    B, H, W, _ = f1.shape
-    return outs[-1].reshape(B, H, W, weights[-1].shape[3])
 
 
 def _flow_level_fwd_all(
@@ -1045,19 +1021,7 @@ def _flow_level_fwd_all(
     assert weights[0].shape[2] == cin0, (weights[0].shape, cin0)
     cmax = max([cin0] + [w.shape[3] for w in weights])
     pad_cv = search * W + search
-    wb = []
-    wb_specs = []
-    for w, b in zip(weights, biases):
-        w9 = w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
-        wb.extend([w9, b.astype(jnp.float32)[None]])
-        for arr in wb[-2:]:
-            wb_specs.append(
-                pl.BlockSpec(
-                    arr.shape,
-                    partial(lambda nd, i: (0,) * nd, arr.ndim),
-                    memory_space=pltpu.VMEM,
-                )
-            )
+    wb, wb_specs = _wb_and_specs(weights, biases)
     out_shapes = [jax.ShapeDtypeStruct((B, P, D), jnp.float32)] + [
         jax.ShapeDtypeStruct((B, P, w.shape[3]), jnp.float32)
         for w in weights
@@ -1108,12 +1072,15 @@ def _flow_level_ad_fwd(
     )
     B, H, W, _ = f1.shape
     out = outs[-1].reshape(B, H, W, weights[-1].shape[3])
-    res = (f1, f2, feat, flow_up, outs[0], outs[1:], tuple(weights))
+    res = (
+        f1, f2, feat, flow_up, outs[0], outs[1:], tuple(weights),
+        tuple(biases),
+    )
     return out, res
 
 
 def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
-    f1, f2, feat, flow_up, cv, acts, weights = res
+    f1, f2, feat, flow_up, cv, acts, weights, biases = res
     B, H, W, C = f1.shape
     P = H * W
     D = (2 * search + 1) ** 2
@@ -1129,11 +1096,6 @@ def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
         w.astype(jnp.float32).reshape(9, w.shape[2], w.shape[3])
         for w in weights
     ]
-    const_spec = lambda arr: pl.BlockSpec(
-        arr.shape,
-        partial(lambda nd, i: (0,) * nd, arr.ndim),
-        memory_space=pltpu.VMEM,
-    )
     item_spec = lambda c: pl.BlockSpec(
         (1, P, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -1153,16 +1115,13 @@ def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
         ),
         grid=(B,),
         in_specs=[item_spec(a.shape[-1]) for a in ins]
-        + [const_spec(w9) for w9 in w9s],
+        + [_const_spec(w9.shape) for w9 in w9s],
         out_specs=[
             item_spec(C), item_spec(C), item_spec(Cf),
             item_spec(flow_up.shape[3]),
         ]
-        + [const_spec(w9) for w9 in w9s]
-        + [
-            const_spec(jnp.zeros((1, w.shape[3]), jnp.float32))
-            for w in weights
-        ],
+        + [_const_spec(w9.shape) for w9 in w9s]
+        + [_const_spec((1, w.shape[3])) for w in weights],
         out_shape=[
             jax.ShapeDtypeStruct((B, P, C), jnp.float32),
             jax.ShapeDtypeStruct((B, P, C), jnp.float32),
@@ -1190,7 +1149,7 @@ def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
         for i in range(n_layers)
     )
     dbs = tuple(
-        outs[4 + n_layers + i][0].astype(weights[i].dtype)
+        outs[4 + n_layers + i][0].astype(biases[i].dtype)
         for i in range(n_layers)
     )
     shape4 = lambda a, c: a.reshape(B, H, W, c)

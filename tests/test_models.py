@@ -396,6 +396,39 @@ class TestFlowNet:
                     err_msg=f"{extra} {path}",
                 )
 
+    def test_fused_train_grads_bf16_production_dtype(self, batch):
+        """The PRODUCTION compute dtype (bfloat16): both trainable
+        fused flags must differentiate without dtype errors and give
+        finite grads in the right structure (regression: the chain VJP
+        once returned an f32 dx cotangent for a bf16 primal, crashing
+        jax.grad under the default config)."""
+        import dataclasses
+
+        base = dataclasses.replace(CFG, compute_dtype="bfloat16")
+        for flag in ("fuse_estimator_train", "fuse_flow_level_train"):
+            model = FlowNetLite(base)
+            params = model.init(
+                jax.random.key(0), batch["target"], batch["sources"][:, 0]
+            )
+            fused = FlowNetLite(
+                dataclasses.replace(base, **{flag: True})
+            )
+
+            def loss(p, m=fused):
+                flows = m.apply(
+                    p, batch["target"], batch["sources"][:, 0]
+                )
+                return sum(jnp.sum(fl**2) for fl in flows)
+
+            g = jax.grad(loss)(params)
+            leaves = jax.tree_util.tree_leaves(g)
+            assert leaves, flag
+            for leaf in leaves:
+                assert np.all(np.isfinite(np.asarray(leaf))), flag
+            assert any(
+                float(jnp.abs(leaf).max()) > 0 for leaf in leaves
+            ), flag
+
     def test_fuse_pyramid_matches_xla_path(self, batch):
         """fuse_pyramid=True (whole feature ladder as one multi-output
         Pallas kernel) == the XLA path on the same params."""
