@@ -99,6 +99,14 @@ class ModelConfig:
     # (conv_chain_strided taps). Requires every s2 layer to see even
     # dims (holds at 128x416); falls back to XLA otherwise.
     fuse_pyramid: bool = False
+    # TRAINABLE variants of the three backbone fusions above:
+    # conv_chain_strided_ad's hand-written VJP (one backward kernel —
+    # window dW dots, transposed-window dx, depth-to-space across
+    # stride boundaries, per-tap cotangent injection). Grads == XLA
+    # (tests); may be on during training.
+    fuse_pose_encoder_train: bool = False
+    fuse_attention_train: bool = False
+    fuse_pyramid_train: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift

@@ -339,6 +339,41 @@ def s2d_weights(w: jnp.ndarray, pad_low: int):
     return w2.reshape(win * win, 4 * cin, cout), lo, hi
 
 
+def _strided_plan(H, W, weights, strides):
+    """Static geometry + remapped weights for a mixed-stride chain.
+
+    Returns (geoms, w9s, scratch_rows): geoms[i] = (H, W, stride,
+    win_lo, win_hi, pad_b) at layer i's post-s2d resolution; w9s[i]
+    the (win^2, Cin_eff, Cout) f32 tap weights (s2d-remapped for
+    stride-2 layers); scratch_rows[i] the padded scratch extent.
+    Shared by the serving forward and the VJP's backward.
+    """
+    geoms, w9s, scratch_rows = [], [], []
+    h, w_dim = H, W
+    for i, (wt, stride) in enumerate(zip(weights, strides)):
+        k = wt.shape[0]
+        if stride == 2:
+            if h % 2 or w_dim % 2:
+                raise ValueError(
+                    f"stride-2 layer {i} needs even dims, got {h}x{w_dim}"
+                )
+            padl = _same_pad_low(h, k, 2)
+            w9, lo, hi = s2d_weights(wt.astype(jnp.float32), padl)
+            h, w_dim = h // 2, w_dim // 2
+        else:
+            padl = (k - 1) // 2
+            lo, hi = -padl, k - 1 - padl
+            w9 = wt.astype(jnp.float32).reshape(
+                k * k, wt.shape[2], wt.shape[3]
+            )
+        pad_b = max(0, -lo) * (w_dim + 1)
+        pad_a = max(0, hi) * (w_dim + 1)
+        geoms.append((h, w_dim, stride, lo, hi, pad_b))
+        w9s.append(w9)
+        scratch_rows.append(h * w_dim + pad_b + pad_a)
+    return geoms, w9s, scratch_rows
+
+
 def _strided_chain_kernel(
     *refs, height, width, geoms, relus, taps, compute_dtype
 ):
@@ -441,34 +476,14 @@ def conv_chain_strided(
     compute_dtype = {
         "bfloat16": jnp.bfloat16, "float32": jnp.float32
     }[compute_dtype_name]
-    geoms = []
+    geoms, w9s, scratch_rows = _strided_plan(H, W, weights, strides)
+    scratch_shapes = [
+        pltpu.VMEM((rows, w9.shape[1]), compute_dtype)
+        for rows, w9 in zip(scratch_rows, w9s)
+    ]
     wb = []
-    scratch_shapes = []
-    h, w_dim = H, W
-    for i, (wt, stride) in enumerate(zip(weights, strides)):
-        k = wt.shape[0]
-        if stride == 2:
-            if h % 2 or w_dim % 2:
-                raise ValueError(
-                    f"stride-2 layer {i} needs even dims, got {h}x{w_dim}"
-                )
-            padl = _same_pad_low(h, k, 2)
-            w9, lo, hi = s2d_weights(wt.astype(jnp.float32), padl)
-            h, w_dim = h // 2, w_dim // 2
-        else:
-            padl = (k - 1) // 2
-            lo, hi = -padl, k - 1 - padl
-            w9 = wt.astype(jnp.float32).reshape(
-                k * k, wt.shape[2], wt.shape[3]
-            )
-        pad_b = max(0, -lo) * (w_dim + 1)
-        pad_a = max(0, hi) * (w_dim + 1)
-        P_i = h * w_dim
-        geoms.append((h, w_dim, stride, lo, hi, pad_b))
-        scratch_shapes.append(
-            pltpu.VMEM((P_i + pad_b + pad_a, w9.shape[1]), compute_dtype)
-        )
-        wb.extend([w9, biases[i].astype(jnp.float32)[None]])
+    for w9, b in zip(w9s, biases):
+        wb.extend([w9, b.astype(jnp.float32)[None]])
     wb_specs = [_const_spec(arr.shape) for arr in wb]
     single = taps is None
     taps_t = (n_layers - 1,) if single else tuple(taps)
@@ -1164,3 +1179,250 @@ def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
 
 
 flow_level_fused_ad.defvjp(_flow_level_ad_fwd, _flow_level_ad_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable fused mixed-stride chain (training path for the
+# PoseEncoder / RegionAttention / feature-pyramid stacks).
+# ---------------------------------------------------------------------------
+
+def _d2s_rows(y, H2, W2, C4):
+    """Depth-to-space: inverse of `_s2d_rows`.
+
+    y (H2*W2, 4C) with plane order [ee, eo, oe, oo] -> (4*H2*W2, C) at
+    the doubled resolution. Same contiguous reshape/concat op class as
+    the forward.
+    """
+    C = C4 // 4
+    even = y[:, : 2 * C].reshape(H2, W2 * 2 * C)
+    odd = y[:, 2 * C :].reshape(H2, W2 * 2 * C)
+    x2 = jnp.concatenate([even, odd], axis=1)  # (H2, 2*W2*2C)
+    return x2.reshape(4 * H2 * W2, C)
+
+
+def s2d_weights_bwd(dw2: jnp.ndarray, k: int, pad_low: int) -> jnp.ndarray:
+    """Map a (win*win, 4Cin, Cout) s2d-space weight cotangent back to
+    the original (k, k, Cin, Cout) layout (inverse of `s2d_weights`;
+    the zero-slot positions carry no original weight and are cropped).
+    """
+    lo = (0 - pad_low) // 2
+    hi = (k - 1 - pad_low) // 2
+    win = hi - lo + 1
+    a = -pad_low - 2 * lo
+    cin = dw2.shape[1] // 4
+    cout = dw2.shape[2]
+    w6 = dw2.reshape(win, win, 2, 2, cin, cout).transpose(0, 2, 1, 3, 4, 5)
+    wp = w6.reshape(2 * win, 2 * win, cin, cout)
+    return wp[a : a + k, a : a + k]
+
+
+def _strided_bwd_kernel(
+    *refs, height, width, geoms, relus, taps, compute_dtype
+):
+    """Backward for the mixed-stride chain, one kernel for all layers.
+
+    refs = [x, act * n, g_tap * len(taps), w9 * n,
+            dx, dw9 * n, db * n, (scratch_in, scratch_dx) * n].
+
+    Layer inputs at conv (post-s2d) resolution are rebuilt from the
+    residual activations via `_s2d_rows` (contiguous reshapes); the
+    per-layer window backward mirrors `_run_3x3_chain_bwd` with the
+    layer's own [lo, hi] window, and stride-2 layers depth-to-space
+    their input cotangent back to the parent resolution. Tap outputs'
+    cotangents are injected into dy as the reverse sweep passes their
+    layer. dw9/db accumulate across the batch grid.
+    """
+    n_layers = len(geoms)
+    n_taps = len(taps)
+    x_ref = refs[0]
+    act_refs = refs[1 : 1 + n_layers]
+    g_refs = refs[1 + n_layers : 1 + n_layers + n_taps]
+    w_refs = refs[1 + n_layers + n_taps : 1 + 2 * n_layers + n_taps]
+    dx_ref = refs[1 + 2 * n_layers + n_taps]
+    dw_refs = refs[2 + 2 * n_layers + n_taps : 2 + 3 * n_layers + n_taps]
+    db_refs = refs[2 + 3 * n_layers + n_taps : 2 + 4 * n_layers + n_taps]
+    scratches = refs[2 + 4 * n_layers + n_taps :]
+
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _zero():
+        for r in list(dw_refs) + list(db_refs):
+            r[...] = jnp.zeros(r.shape, r.dtype)
+
+    # Rebuild each layer's conv-resolution input from the residuals.
+    acts_in = []
+    cur_h, cur_w = height, width
+    prev = x_ref[0].astype(jnp.float32)
+    for layer in range(n_layers):
+        H, W, stride, lo, hi, pad_b = geoms[layer]
+        a_in = (
+            _s2d_rows(prev, cur_h, cur_w, prev.shape[-1])
+            if stride == 2
+            else prev
+        )
+        acts_in.append(a_in)
+        prev = act_refs[layer][0].astype(jnp.float32)
+        cur_h, cur_w = H, W
+
+    dy = None
+    for layer in reversed(range(n_layers)):
+        H, W, stride, lo, hi, pad_b = geoms[layer]
+        P = H * W
+        cout = w_refs[layer].shape[2]
+        if dy is None:
+            dy = jnp.zeros((P, cout), jnp.float32)
+        if layer in taps:
+            dy = dy + g_refs[taps.index(layer)][0].astype(jnp.float32)
+        a_out = act_refs[layer][0]
+        dz = dy
+        if relus[layer]:
+            dz = dz * (a_out > 0).astype(jnp.float32)
+        db_refs[layer][0] += jnp.sum(dz, axis=0)
+        a_in = acts_in[layer]
+        cin = w_refs[layer].shape[1]
+        win = hi - lo + 1
+        scratch_in = scratches[2 * layer]
+        scratch_dx = scratches[2 * layer + 1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
+        scratch_in[0:pad_b, :] = jnp.zeros((pad_b, cin), jnp.float32)
+        scratch_in[pad_b : pad_b + P, :] = a_in
+        pad_a = scratch_in.shape[0] - pad_b - P
+        scratch_in[pad_b + P :, :] = jnp.zeros((pad_a, cin), jnp.float32)
+        scratch_dx[...] = jnp.zeros(scratch_dx.shape, jnp.float32)
+        for wy in range(lo, hi + 1):
+            for wx in range(lo, hi + 1):
+                t = (wy - lo) * win + (wx - lo)
+                off = pad_b + wy * W + wx
+                tap = scratch_in[off : off + P, :]
+                if wx != 0:
+                    mask = jnp.logical_and(
+                        col >= -wx, col < W - wx
+                    ).astype(jnp.float32)
+                    tap = tap * mask
+                dw_refs[layer][t] += jax.lax.dot_general(
+                    tap, dz, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                u = jax.lax.dot_general(
+                    dz, w_refs[layer][t],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if wx != 0:
+                    u = u * mask
+                scratch_dx[off : off + P, :] += u
+        da_in = scratch_dx[pad_b : pad_b + P, :]
+        if stride == 2:
+            da_in = _d2s_rows(da_in, H, W, cin)
+        dy = da_in
+    dx_ref[0] = dy.astype(dx_ref.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def conv_chain_strided_ad(
+    x, weights, biases, strides, relus, taps=None,
+    compute_dtype_name="bfloat16",
+):
+    """Differentiable fused mixed-stride chain (training path).
+
+    Same semantics as `conv_chain_strided` (incl. multi-output taps),
+    with a hand-written VJP: the forward emits every layer's
+    activation as residuals; the whole backward — tap-injected
+    cotangents, relu', db, window dW dots, the transposed window
+    scatter for dx, and depth-to-space across stride boundaries — is
+    ONE more Pallas kernel. s2d-space weight cotangents are mapped
+    back to (k, k, Cin, Cout) on the host (`s2d_weights_bwd`).
+
+    STATUS: interpret-validated vs jax.grad of the XLA chain
+    (tests/test_kernels.py::TestStridedVJP).
+    """
+    return conv_chain_strided(
+        x, tuple(weights), tuple(biases), strides, relus, taps=taps,
+        compute_dtype_name=compute_dtype_name,
+    )
+
+
+def _strided_ad_fwd(
+    x, weights, biases, strides, relus, taps, compute_dtype_name
+):
+    n_layers = len(relus)
+    acts = conv_chain_strided(
+        x, tuple(weights), tuple(biases), strides, relus,
+        taps=tuple(range(n_layers)),
+        compute_dtype_name=compute_dtype_name,
+    )
+    if taps is None:
+        out = acts[-1]
+    else:
+        out = [acts[t] for t in taps]
+    return out, (x, acts, tuple(weights), tuple(biases))
+
+
+def _strided_ad_bwd(strides, relus, taps, compute_dtype_name, res, g):
+    x, acts, weights, biases = res
+    B, H, W, C0 = x.shape
+    n_layers = len(relus)
+    taps_t = (n_layers - 1,) if taps is None else tuple(taps)
+    gs = [g] if taps is None else list(g)
+    compute_dtype = {
+        "bfloat16": jnp.bfloat16, "float32": jnp.float32
+    }[compute_dtype_name]
+    geoms, w9s, scratch_rows = _strided_plan(H, W, weights, strides)
+    item_spec = lambda p, c: pl.BlockSpec(
+        (1, p, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    ins = [x.reshape(B, H * W, C0)] + [
+        a.reshape(B, geoms[l][0] * geoms[l][1], weights[l].shape[3])
+        for l, a in enumerate(acts)
+    ] + [
+        gs[j].reshape(
+            B, geoms[t][0] * geoms[t][1], weights[t].shape[3]
+        )
+        for j, t in enumerate(taps_t)
+    ]
+    scratch_shapes = []
+    for rows, w9 in zip(scratch_rows, w9s):
+        scratch_shapes.append(pltpu.VMEM((rows, w9.shape[1]), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((rows, w9.shape[1]), jnp.float32))
+    outs = pl.pallas_call(
+        partial(
+            _strided_bwd_kernel, height=H, width=W,
+            geoms=tuple(geoms), relus=relus, taps=taps_t,
+            compute_dtype=compute_dtype,
+        ),
+        grid=(B,),
+        in_specs=[item_spec(a.shape[1], a.shape[2]) for a in ins]
+        + [_const_spec(w9.shape) for w9 in w9s],
+        out_specs=[item_spec(H * W, C0)]
+        + [_const_spec(w9.shape) for w9 in w9s]
+        + [_const_spec((1, w.shape[3])) for w in weights],
+        out_shape=[jax.ShapeDtypeStruct((B, H * W, C0), jnp.float32)]
+        + [jax.ShapeDtypeStruct(w9.shape, jnp.float32) for w9 in w9s]
+        + [
+            jax.ShapeDtypeStruct((1, w.shape[3]), jnp.float32)
+            for w in weights
+        ],
+        scratch_shapes=scratch_shapes,
+        interpret=_interpret(),
+    )(*ins, *w9s)
+    dx = outs[0].reshape(B, H, W, C0).astype(x.dtype)
+    dws = []
+    for l, w in enumerate(weights):
+        dw9 = outs[1 + l]
+        k = w.shape[0]
+        if strides[l] == 2:
+            h_in = geoms[l][0] * 2
+            padl = _same_pad_low(h_in, k, 2)
+            dw = s2d_weights_bwd(dw9, k, padl)
+        else:
+            dw = dw9.reshape(k, k, w.shape[2], w.shape[3])
+        dws.append(dw.astype(w.dtype))
+    dbs = tuple(
+        outs[1 + n_layers + l][0].astype(biases[l].dtype)
+        for l in range(n_layers)
+    )
+    return (dx, tuple(dws), dbs)
+
+
+conv_chain_strided_ad.defvjp(_strided_ad_fwd, _strided_ad_bwd)

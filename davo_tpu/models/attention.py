@@ -38,11 +38,15 @@ class RegionAttention(nn.Module):
         x = flow.astype(dt)
         chans = (16, 32, 64)
         start = 0
-        if self.cfg.fuse_attention and not self.is_initializing():
-            # Serving fast path: the stride-2 stack as one Pallas
-            # kernel (same mechanism + caveats as fuse_pose_encoder).
+        if (
+            self.cfg.fuse_attention or self.cfg.fuse_attention_train
+        ) and not self.is_initializing():
+            # Fused fast path: the stride-2 stack as one Pallas kernel
+            # (same mechanism + caveats as fuse_pose_encoder; the
+            # _train variant carries the hand-written VJP).
             from davo_tpu.kernels.rowconv import (
                 conv_chain_strided,
+                conv_chain_strided_ad,
                 fusable_even_prefix,
             )
 
@@ -57,7 +61,12 @@ class RegionAttention(nn.Module):
                 bs = tuple(
                     p[f"conv{i}"]["Conv_0"]["bias"] for i in range(n)
                 )
-                x = conv_chain_strided(
+                fn = (
+                    conv_chain_strided_ad
+                    if self.cfg.fuse_attention_train
+                    else conv_chain_strided
+                )
+                x = fn(
                     x, ws, bs, (2,) * n, (True,) * n,
                     compute_dtype_name=self.cfg.compute_dtype,
                 ).astype(dt)

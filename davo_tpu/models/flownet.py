@@ -146,13 +146,18 @@ class FeaturePyramid(nn.Module):
         dt = dtype_of(self.cfg.compute_dtype)
         x = img.astype(dt)
         chans = _LEVEL_CHANNELS[: self.cfg.flow_levels]
-        if self.cfg.fuse_pyramid and not self.is_initializing():
-            # Serving fast path: the whole (s2, s1) x levels ladder as
+        if (
+            self.cfg.fuse_pyramid or self.cfg.fuse_pyramid_train
+        ) and not self.is_initializing():
+            # Fused fast path: the whole (s2, s1) x levels ladder as
             # ONE Pallas kernel, emitting every level via taps (same
-            # mechanism + caveats as fuse_pose_encoder). 416-wide
-            # inputs stay even through all four s2 layers.
+            # mechanism + caveats as fuse_pose_encoder; the _train
+            # variant carries the hand-written VJP with per-tap
+            # cotangent injection). 416-wide inputs stay even through
+            # all four s2 layers.
             from davo_tpu.kernels.rowconv import (
                 conv_chain_strided,
+                conv_chain_strided_ad,
                 fusable_even_prefix,
             )
 
@@ -165,7 +170,12 @@ class FeaturePyramid(nn.Module):
                     for suf in ("a", "b"):
                         ws.append(p[f"feat{i}{suf}"]["Conv_0"]["kernel"])
                         bs.append(p[f"feat{i}{suf}"]["Conv_0"]["bias"])
-                pyr = conv_chain_strided(
+                fn = (
+                    conv_chain_strided_ad
+                    if self.cfg.fuse_pyramid_train
+                    else conv_chain_strided
+                )
+                pyr = fn(
                     x, tuple(ws), tuple(bs), strides,
                     (True,) * len(strides),
                     taps=tuple(2 * i + 1 for i in range(len(chans))),

@@ -30,14 +30,18 @@ class PoseEncoder(nn.Module):
             for i in range(len(self.cfg.pose_channels))
         ]
         start = 0
-        if self.cfg.fuse_pose_encoder and not self.is_initializing():
-            # Serving fast path: the even-dim prefix of the stride-2
+        if (
+            self.cfg.fuse_pose_encoder or self.cfg.fuse_pose_encoder_train
+        ) and not self.is_initializing():
+            # Fused fast path: the even-dim prefix of the stride-2
             # stack as ONE Pallas kernel (kernels/rowconv, in-kernel
             # s2d), reading the SAME params the XLA path trains. Init
-            # always runs the XLA path so the tree is identical; no
-            # VJP, so training configs keep this False (CLI-guarded).
+            # always runs the XLA path so the tree is identical.
+            # fuse_pose_encoder has no VJP (serving only, CLI-guarded);
+            # the _train variant uses the hand-written-VJP kernel.
             from davo_tpu.kernels.rowconv import (
                 conv_chain_strided,
+                conv_chain_strided_ad,
                 fusable_even_prefix,
             )
 
@@ -50,7 +54,12 @@ class PoseEncoder(nn.Module):
                 bs = tuple(
                     p[f"enc{i}"]["Conv_0"]["bias"] for i in range(n)
                 )
-                x = conv_chain_strided(
+                fn = (
+                    conv_chain_strided_ad
+                    if self.cfg.fuse_pose_encoder_train
+                    else conv_chain_strided
+                )
+                x = fn(
                     x, ws, bs, (2,) * n, (True,) * n,
                     compute_dtype_name=self.cfg.compute_dtype,
                 ).astype(dt)

@@ -382,6 +382,131 @@ class TestFlowLevelVJP:
             )
 
 
+class TestStridedVJP:
+    """conv_chain_strided_ad: hand-written VJP for mixed-stride chains
+    (s2d boundaries, window taps, multi-output taps) vs jax.grad of
+    the XLA chain."""
+
+    def _xla_chain(self, x, weights, biases, strides, relus, upto=None):
+        y = x.astype(jnp.float32)
+        outs = []
+        for w, b, s, r in zip(weights, biases, strides, relus):
+            y = jax.lax.conv_general_dilated(
+                y, w, (s, s), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            y = y + b
+            if r:
+                y = jax.nn.relu(y)
+            outs.append(y)
+        return outs
+
+    def _setup(self, rng, ks, chans, cin, B=2, H=8, W=12):
+        x = jnp.asarray(rng.normal(size=(B, H, W, cin)), jnp.float32)
+        ws, bs = [], []
+        c = cin
+        for k, co in zip(ks, chans):
+            ws.append(jnp.asarray(
+                rng.normal(size=(k, k, c, co)) / np.sqrt(k * k * c),
+                jnp.float32,
+            ))
+            bs.append(jnp.asarray(rng.normal(size=(co,)) * 0.01, jnp.float32))
+            c = co
+        return x, tuple(ws), tuple(bs)
+
+    @pytest.mark.parametrize(
+        "ks,strides",
+        [((3, 3), (2, 1)), ((7, 3), (2, 2)), ((5, 3, 3), (2, 1, 2))],
+    )
+    def test_grads_match_xla(self, rng, ks, strides):
+        from davo_tpu.kernels.rowconv import conv_chain_strided_ad
+
+        relus = (True,) * (len(ks) - 1) + (False,)
+        x, ws, bs = self._setup(rng, ks, (8,) * len(ks), 6, H=16, W=24)
+
+        def loss_fused(x, ws, bs):
+            out = conv_chain_strided_ad(
+                x, ws, bs, strides, relus,
+                compute_dtype_name="float32",
+            )
+            return jnp.sum(out**2)
+
+        def loss_xla(x, ws, bs):
+            return jnp.sum(
+                self._xla_chain(x, ws, bs, strides, relus)[-1] ** 2
+            )
+
+        out_f = conv_chain_strided_ad(
+            x, ws, bs, strides, relus, compute_dtype_name="float32"
+        )
+        out_x = self._xla_chain(x, ws, bs, strides, relus)[-1]
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_x), rtol=1e-4, atol=1e-5
+        )
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2))(x, ws, bs)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(x, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+    def test_taps_multi_output_grads(self, rng):
+        """Pyramid shape: taps at every (s2, s1) pair boundary; each
+        output receives its own cotangent and all grads match XLA."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided_ad
+
+        strides = (2, 1, 2, 1)
+        relus = (True,) * 4
+        taps = (1, 3)
+        x, ws, bs = self._setup(
+            rng, (3, 3, 3, 3), (8, 8, 12, 12), 6, H=16, W=24
+        )
+
+        def loss_fused(x, ws, bs):
+            outs = conv_chain_strided_ad(
+                x, ws, bs, strides, relus, taps,
+                compute_dtype_name="float32",
+            )
+            return sum(jnp.sum(o**2) * w for o, w in zip(outs, (1.0, 3.0)))
+
+        def loss_xla(x, ws, bs):
+            outs = self._xla_chain(x, ws, bs, strides, relus)
+            return (
+                jnp.sum(outs[1] ** 2) * 1.0 + jnp.sum(outs[3] ** 2) * 3.0
+            )
+
+        g_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1, 2)))(x, ws, bs)
+        g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(x, ws, bs)
+        for a, b in zip(jax.tree_util.tree_leaves(g_f),
+                        jax.tree_util.tree_leaves(g_x)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+            )
+
+    def test_bf16_grads_run(self, rng):
+        """Production dtype: differentiates without dtype errors."""
+        from davo_tpu.kernels.rowconv import conv_chain_strided_ad
+
+        strides, relus = (2, 1), (True, True)
+        x, ws, bs = self._setup(rng, (3, 3), (8, 8), 4, H=8, W=12)
+        x = x.astype(jnp.bfloat16)
+        g = jax.grad(
+            lambda x, ws, bs: jnp.sum(
+                conv_chain_strided_ad(
+                    x, ws, bs, strides, relus,
+                    compute_dtype_name="bfloat16",
+                ).astype(jnp.float32)
+                ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(x, ws, bs)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.all(np.isfinite(np.asarray(leaf, np.float32)))
+        assert g[0].dtype == jnp.bfloat16
+
+
 class TestStridedRowChain:
     """conv_chain_strided (rows-layout s2d formulation) vs XLA."""
 

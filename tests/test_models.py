@@ -74,6 +74,49 @@ class TestPoseNet:
             np.asarray(got), np.asarray(ref), atol=5e-5
         )
 
+    def test_fuse_pose_encoder_train_grads_match_xla(self, batch):
+        """fuse_pose_encoder_train (strided VJP): pose AND parameter
+        grads match the XLA path, at the production bfloat16 dtype the
+        structure must also survive (smoke)."""
+        import dataclasses
+
+        net = PoseNet(CFG)
+        params = net.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        fused = PoseNet(
+            dataclasses.replace(CFG, fuse_pose_encoder_train=True)
+        )
+
+        def loss(m):
+            return lambda p: jnp.sum(
+                m.apply(p, batch["target"], batch["sources"][:, 0]) ** 2
+            )
+
+        got = fused.apply(params, batch["target"], batch["sources"][:, 0])
+        ref = net.apply(params, batch["target"], batch["sources"][:, 0])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-5
+        )
+        g_ref = jax.tree_util.tree_leaves_with_path(
+            jax.grad(loss(net))(params)
+        )
+        g_got = jax.tree_util.tree_leaves(jax.grad(loss(fused))(params))
+        for (path, a), b in zip(g_ref, g_got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-5,
+                err_msg=str(path),
+            )
+        # bf16 smoke
+        bf = dataclasses.replace(
+            CFG, compute_dtype="bfloat16", fuse_pose_encoder_train=True
+        )
+        g = jax.grad(loss(PoseNet(bf)))(params)
+        assert all(
+            np.all(np.isfinite(np.asarray(leaf, np.float32)))
+            for leaf in jax.tree_util.tree_leaves(g)
+        )
+
     def test_fuse_pose_encoder_odd_dims_falls_back(self, batch):
         """Odd input dims -> zero fusable prefix -> pure XLA path."""
         import dataclasses
@@ -396,8 +439,48 @@ class TestFlowNet:
                     err_msg=f"{extra} {path}",
                 )
 
+    def test_fuse_pyramid_train_grads_match_xla(self, batch):
+        """fuse_pyramid_train (multi-output strided VJP): flows and
+        parameter grads — including the pyramid convs, which receive
+        cotangents through every tap — match the XLA path."""
+        import dataclasses
+
+        model = FlowNetLite(CFG)
+        params = model.init(
+            jax.random.key(0), batch["target"], batch["sources"][:, 0]
+        )
+        fused = FlowNetLite(
+            dataclasses.replace(CFG, fuse_pyramid_train=True)
+        )
+
+        def loss(m):
+            def f(p):
+                flows = m.apply(
+                    p, batch["target"], batch["sources"][:, 0]
+                )
+                return sum(jnp.sum(fl**2) for fl in flows)
+
+            return f
+
+        got = fused.apply(params, batch["target"], batch["sources"][:, 0])
+        ref = model.apply(params, batch["target"], batch["sources"][:, 0])
+        for a, b in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4
+            )
+        g_ref = jax.tree_util.tree_leaves_with_path(
+            jax.grad(loss(model))(params)
+        )
+        g_got = jax.tree_util.tree_leaves(jax.grad(loss(fused))(params))
+        assert len(g_ref) == len(g_got)
+        for (path, a), b in zip(g_ref, g_got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                err_msg=str(path),
+            )
+
     def test_fused_train_grads_bf16_production_dtype(self, batch):
-        """The PRODUCTION compute dtype (bfloat16): both trainable
+        """The PRODUCTION compute dtype (bfloat16): all trainable
         fused flags must differentiate without dtype errors and give
         finite grads in the right structure (regression: the chain VJP
         once returned an f32 dx cotangent for a bf16 primal, crashing
@@ -405,7 +488,11 @@ class TestFlowNet:
         import dataclasses
 
         base = dataclasses.replace(CFG, compute_dtype="bfloat16")
-        for flag in ("fuse_estimator_train", "fuse_flow_level_train"):
+        for flag in (
+            "fuse_estimator_train",
+            "fuse_flow_level_train",
+            "fuse_pyramid_train",
+        ):
             model = FlowNetLite(base)
             params = model.init(
                 jax.random.key(0), batch["target"], batch["sources"][:, 0]
@@ -572,6 +659,37 @@ class TestAttention:
         wmap = region_weight_map(weights, seg_oh, (8, 8))
         assert float(wmap[0, :4].max()) == 0.0
         assert float(wmap[0, 4:].min()) == 1.0
+
+    def test_fuse_attention_train_grads_match_xla(self, batch):
+        """fuse_attention_train (strided VJP): weights and grads match
+        the XLA path."""
+        import dataclasses
+
+        rng = np.random.default_rng(5)
+        flow = jnp.asarray(rng.normal(0, 2, (2, 64, 96, 2)), jnp.float32)
+        net = RegionAttention(CFG)
+        params = net.init(jax.random.key(0), flow)
+        fused = RegionAttention(
+            dataclasses.replace(CFG, fuse_attention_train=True)
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused.apply(params, flow)),
+            np.asarray(net.apply(params, flow)),
+            atol=5e-5,
+        )
+
+        def loss(m):
+            return lambda p: jnp.sum(m.apply(p, flow) ** 2)
+
+        g_ref = jax.tree_util.tree_leaves_with_path(
+            jax.grad(loss(net))(params)
+        )
+        g_got = jax.tree_util.tree_leaves(jax.grad(loss(fused))(params))
+        for (path, a), b in zip(g_ref, g_got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6,
+                err_msg=str(path),
+            )
 
     def test_fuse_attention_matches_xla_path(self, batch):
         """fuse_attention=True (conv stack as one s2d Pallas kernel)

@@ -114,6 +114,15 @@ def main():
             "smoke B=2 fuse_level_train",
             dict(attention="flow_seg", fuse_flow_level_train=True), 2,
         )
+        bench(
+            "smoke B=2 ALL fused train",
+            dict(
+                attention="flow_seg", fuse_flow_level_train=True,
+                fuse_pyramid_train=True, fuse_pose_encoder_train=True,
+                fuse_attention_train=True,
+            ),
+            2,
+        )
         return
     fast = dict(
         attention="flow_seg", costvol_feat_channels=8, flow_search_range=3
@@ -150,6 +159,19 @@ def main():
         )
     except Exception as e:
         print(f"fuse_flow_level_train FAILED: {str(e)[:300]}", flush=True)
+    # Everything-fused training: flow levels + pyramid + pose encoder
+    # + attention, all via hand-written VJPs.
+    all_train = dict(
+        fuse_flow_level_train=True, fuse_pyramid_train=True,
+        fuse_pose_encoder_train=True, fuse_attention_train=True,
+    )
+    try:
+        bench(
+            "davo-fast B=16 ALL fused train",
+            {**fast, **all_train}, 16,
+        )
+    except Exception as e:
+        print(f"all-fused train FAILED: {str(e)[:300]}", flush=True)
     # remat headroom: find the largest batch that fits each way.
     for batch in (64, 128):
         for remat in (False, True):
