@@ -92,6 +92,7 @@ def cmd_train(args) -> int:
             and cfg.model.attention != "none"
         )
         or cfg.model.fuse_pose_encoder
+        or cfg.model.fuse_disp_encoder
         # RegionAttention (and so the fused kernel) is only built for
         # the flow_seg config; other attention modes never trace it.
         or (
@@ -105,9 +106,10 @@ def cmd_train(args) -> int:
         # instead (config.py fuse_estimator note).
         print(
             "model.fuse_estimator / fuse_flow_level / fuse_pyramid / "
-            "fuse_pose_encoder / fuse_attention are serving-only fast "
-            "paths (pallas_call has no VJP); train with them false and "
-            "enable them for infer/depth/export",
+            "fuse_pose_encoder / fuse_attention / fuse_disp_encoder "
+            "are serving-only fast paths (pallas_call has no VJP); "
+            "train with them false — the *_train variants carry VJPs "
+            "and may be enabled for training",
             file=sys.stderr,
         )
         return 1

@@ -107,6 +107,13 @@ class ModelConfig:
     fuse_pose_encoder_train: bool = False
     fuse_attention_train: bool = False
     fuse_pyramid_train: bool = False
+    # DispNet "conv" encoder ((s2, s1) pairs with skip taps — the
+    # pyramid pattern): serving + trainable fused variants. The
+    # even-dim prefix fuses (5 of 7 levels at 128x416); the tail and
+    # the skip-concat decoder stay on XLA. No effect on the resnet
+    # encoder.
+    fuse_disp_encoder: bool = False
+    fuse_disp_encoder_train: bool = False
     # Cost-volume lowering: "slices" = (2s+1)^2 fused VPU multiply-
     # reduces; "scan" = the same computation as ONE lax.scan over
     # shifts (kernel-count bound, r2c profile); "gram" = per-row-shift

@@ -121,7 +121,49 @@ class DispNet(nn.Module):
 
         # Encoder: one stride-2 level per configured width.
         skips = []
-        for i, ch in enumerate(self.cfg.disp_channels):
+        start = 0
+        if (
+            (self.cfg.fuse_disp_encoder or self.cfg.fuse_disp_encoder_train)
+            and not self.is_initializing()
+            and self.cfg.disp_encoder == "conv"
+        ):
+            # Fused fast path: the even-dim prefix of the (s2, s1)
+            # ladder as ONE Pallas kernel, every level emitted via
+            # taps (the skips). Same mechanism + caveats as
+            # fuse_pyramid; the _train variant carries the
+            # hand-written VJP with per-tap cotangent injection.
+            from davo_tpu.kernels.rowconv import (
+                conv_chain_strided,
+                conv_chain_strided_ad,
+                fusable_even_prefix,
+            )
+
+            strides = (2, 1) * len(self.cfg.disp_channels)
+            n_pairs = (
+                fusable_even_prefix(x.shape[1], x.shape[2], strides) // 2
+            )
+            if n_pairs:
+                p = self.variables["params"]
+                ws, bs = [], []
+                for i in range(n_pairs):
+                    for suf in ("", "b"):
+                        ws.append(p[f"enc{i}{suf}"]["Conv_0"]["kernel"])
+                        bs.append(p[f"enc{i}{suf}"]["Conv_0"]["bias"])
+                fn = (
+                    conv_chain_strided_ad
+                    if self.cfg.fuse_disp_encoder_train
+                    else conv_chain_strided
+                )
+                outs = fn(
+                    x, tuple(ws), tuple(bs), strides[: 2 * n_pairs],
+                    (True,) * (2 * n_pairs),
+                    taps=tuple(2 * i + 1 for i in range(n_pairs)),
+                    compute_dtype_name=self.cfg.compute_dtype,
+                )
+                skips = [o.astype(dt) for o in outs]
+                x = skips[-1]
+                start = n_pairs
+        for i, ch in list(enumerate(self.cfg.disp_channels))[start:]:
             if self.cfg.disp_encoder == "resnet":
                 if i == 0:  # stem: large receptive field, like the 7x7
                     x = ConvBlock(ch, 7, 2, dt, name=f"enc{i}")(x)

@@ -157,6 +157,46 @@ class TestDispNet:
         disps = net.apply(params, x)
         assert disps[0].shape == (1, 128, 416, 1)
 
+    def test_fuse_disp_encoder_matches_xla(self, batch):
+        """fuse_disp_encoder (serving) and fuse_disp_encoder_train
+        (strided VJP) == the XLA path on the same params: disparities
+        equal, and the _train variant's parameter grads match —
+        including the encoder convs, whose cotangents arrive through
+        BOTH the decoder skips and the chain (per-tap injection)."""
+        import dataclasses
+
+        net = DispNet(CFG)
+        params = net.init(jax.random.key(0), batch["target"])
+        ref = net.apply(params, batch["target"])
+        for flag in ("fuse_disp_encoder", "fuse_disp_encoder_train"):
+            fused = DispNet(dataclasses.replace(CFG, **{flag: True}))
+            got = fused.apply(params, batch["target"])
+            for a, b in zip(ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-5,
+                    err_msg=flag,
+                )
+
+        fused = DispNet(
+            dataclasses.replace(CFG, fuse_disp_encoder_train=True)
+        )
+
+        def loss(m):
+            return lambda p: sum(
+                jnp.sum(d**2) for d in m.apply(p, batch["target"])
+            )
+
+        g_ref = jax.tree_util.tree_leaves_with_path(
+            jax.grad(loss(net))(params)
+        )
+        g_got = jax.tree_util.tree_leaves(jax.grad(loss(fused))(params))
+        assert len(g_ref) == len(g_got)
+        for (path, a), b in zip(g_ref, g_got):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5,
+                err_msg=str(path),
+            )
+
     def test_resnet_encoder_variant(self, batch):
         """disp_encoder="resnet" (SURVEY R5 ResNet variant): identical
         multi-scale output shapes (shared decoder), residual-block

@@ -119,7 +119,7 @@ def main():
             dict(
                 attention="flow_seg", fuse_flow_level_train=True,
                 fuse_pyramid_train=True, fuse_pose_encoder_train=True,
-                fuse_attention_train=True,
+                fuse_attention_train=True, fuse_disp_encoder_train=True,
             ),
             2,
         )
@@ -164,6 +164,7 @@ def main():
     all_train = dict(
         fuse_flow_level_train=True, fuse_pyramid_train=True,
         fuse_pose_encoder_train=True, fuse_attention_train=True,
+        fuse_disp_encoder_train=True,
     )
     try:
         bench(
