@@ -601,6 +601,70 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_train_seg(args) -> int:
+    """Train the in-repo segmentation source (SURVEY.md R8 / §7.2:
+    the reference ships precomputed DeepLab masks; this produces our
+    own) on synthetic GT labels and save a prep-consumable ckpt."""
+    import json
+
+    from davo_tpu.models.segnet import save_segnet
+    from davo_tpu.train.seg import train_segnet
+
+    model, params, metrics = train_segnet(
+        steps=args.steps,
+        batch_size=args.batch_size,
+        height=args.height,
+        width=args.width,
+        seed=args.seed,
+        channels=tuple(int(c) for c in args.channels.split(",")),
+    )
+    save_segnet(args.checkpoint_dir, model, params)
+    print(json.dumps(metrics))
+    return 0
+
+
+def cmd_prep(args) -> int:
+    """Offline dataset preparation (reference parity: SURVEY.md R11
+    `<ref>/data/prepare_train_data.py`), plus `--write-seg`: stamp
+    framework-generated `*_seg.png` masks onto the prepared tree so
+    flow_seg trains without external segmentation."""
+    from davo_tpu.data import prep as dprep
+
+    if args.dataset is not None:
+        fn = {
+            "kitti_odom": dprep.prepare_kitti_odometry,
+            "kitti_raw": dprep.prepare_kitti_raw,
+            "cityscapes": dprep.prepare_cityscapes,
+        }[args.dataset]
+        kwargs = dict(
+            root=args.root,
+            out_dir=args.out,
+            height=args.height,
+            width=args.width,
+            num_workers=args.num_workers,
+        )
+        if args.dataset == "kitti_odom" and args.seqs:
+            kwargs["seqs"] = tuple(args.seqs.split(","))
+        counts = fn(**kwargs)
+        print(f"prepared {counts}")
+    if args.write_seg:
+        if not args.seg_ckpt:
+            print("--write-seg needs --seg-ckpt (see `train-seg`)",
+                  file=sys.stderr)
+            return 2
+        from davo_tpu.data.prep import annotate_prepared_seg
+        from davo_tpu.models.segnet import make_seg_infer
+
+        n = annotate_prepared_seg(
+            args.out,
+            make_seg_infer(args.seg_ckpt),
+            batch_size=args.batch_size,
+            overwrite=args.overwrite_seg,
+        )
+        print(f"wrote {n} seg maps into {args.out}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="davo-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -696,6 +760,38 @@ def build_parser() -> argparse.ArgumentParser:
     b = sub.add_parser("bench", help="throughput benchmark")
     b.add_argument("--version", default="davo")
     b.set_defaults(fn=cmd_bench)
+
+    ts = sub.add_parser(
+        "train-seg", help="train the in-repo segmentation source"
+    )
+    ts.add_argument("--checkpoint-dir", required=True)
+    ts.add_argument("--steps", type=int, default=600)
+    ts.add_argument("--batch-size", type=int, default=8)
+    ts.add_argument("--height", type=int, default=128)
+    ts.add_argument("--width", type=int, default=416)
+    ts.add_argument("--seed", type=int, default=0)
+    ts.add_argument("--channels", default="16,32,64,128")
+    ts.set_defaults(fn=cmd_train_seg)
+
+    pp = sub.add_parser(
+        "prep", help="offline dataset preparation (+ seg annotation)"
+    )
+    pp.add_argument(
+        "--dataset", default=None,
+        choices=("kitti_odom", "kitti_raw", "cityscapes"),
+        help="omit to only annotate an existing prepared tree",
+    )
+    pp.add_argument("--root", default=None, help="raw dataset root")
+    pp.add_argument("--out", required=True, help="prepared tree dir")
+    pp.add_argument("--height", type=int, default=128)
+    pp.add_argument("--width", type=int, default=416)
+    pp.add_argument("--seqs", default=None, help="kitti_odom seq list, comma")
+    pp.add_argument("--num-workers", type=int, default=4)
+    pp.add_argument("--write-seg", action="store_true")
+    pp.add_argument("--seg-ckpt", default=None)
+    pp.add_argument("--overwrite-seg", action="store_true")
+    pp.add_argument("--batch-size", type=int, default=16)
+    pp.set_defaults(fn=cmd_prep)
     return p
 
 

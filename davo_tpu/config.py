@@ -181,6 +181,11 @@ class TrainConfig:
     # pass). Flag-gated pending TPU e2e validation.
     geo_consistency_weight: float = 0.0
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
+    # Rotation-term multiplier inside the supervised pose L2. At
+    # KITTI-scale motions the squared rotation residual is ~10^4
+    # smaller than translation's; 10.0 is the historical value (r2
+    # artifacts), the r3 quality ladder sweeps it (losses.pose_vec_l2).
+    rot_weight: float = 10.0
     # Rematerialize the forward in the backward pass (jax.checkpoint):
     # trades ~1/3 more FLOPs for dropping all forward activations from
     # HBM, so batch size can grow at fixed memory. Same gradients.

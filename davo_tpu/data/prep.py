@@ -308,3 +308,52 @@ class PreparedSnippets:
                     return
             if len(self.names) < batch_size:
                 return
+
+
+def annotate_prepared_seg(
+    data_dir: str,
+    infer_fn,
+    batch_size: int = 16,
+    overwrite: bool = False,
+) -> int:
+    """Stamp `*_seg.png` onto an existing prepared tree.
+
+    `infer_fn`: batched labeler (B, H, W, 3) float [0,1] -> (B, H, W)
+    uint8 (see `models.segnet.make_seg_infer`). Labels the TARGET
+    (middle) frame of every snippet — the model consumes target seg
+    only (SURVEY.md R8). The reference obtained these maps from an
+    external DeepLab run; here the repo's own SegNetLite produces
+    them, closing the §7.2 "in-repo seg source" risk. Returns the
+    number of files written.
+    """
+    import cv2
+
+    names = []
+    for split in ("train", "val"):
+        path = os.path.join(data_dir, f"{split}.txt")
+        if os.path.exists(path):
+            with open(path) as f:
+                names += [l.strip() for l in f if l.strip()]
+    todo = [
+        n
+        for n in names
+        if overwrite
+        or not os.path.exists(os.path.join(data_dir, n + "_seg.png"))
+    ]
+    written = 0
+    for start in range(0, len(todo), batch_size):
+        chunk = todo[start : start + batch_size]
+        imgs = []
+        for n in chunk:
+            img = cv2.imread(os.path.join(data_dir, n + ".jpg"))
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            w = img.shape[1] // 3
+            imgs.append(img[:, w : 2 * w].astype(np.float32) / 255.0)
+        labels = np.asarray(infer_fn(np.stack(imgs)))
+        for n, lab in zip(chunk, labels):
+            cv2.imwrite(
+                os.path.join(data_dir, n + "_seg.png"),
+                lab.astype(np.uint8),
+            )
+            written += 1
+    return written

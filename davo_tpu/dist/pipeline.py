@@ -165,6 +165,155 @@ def _make_pipelined(cfg: ModelConfig, mesh: Mesh, axis: str = "stage"):
     return pipelined
 
 
+NUM_STAGES_FULL = 3
+
+
+def make_pipeline3_train_fns(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    axis: str = "stage",
+    ssim_weight: float = 0.85,
+    pose_weight: float = 0.0,
+    photo_masking: str = "border",
+):
+    """FULL-graph pipeline training (SURVEY.md §2.2 P3: "flow-net ->
+    attention+pose -> depth/loss"): three stages across three device
+    groups, photometric loss computed ON the pipeline.
+
+    Stage 0 (flow): FlowNetLite -> full-res flow channels.
+    Stage 1 (pose): RegionAttention + PoseNet -> 6-DoF, carried as a
+    separate (mb, 6) leaf of the ring state (images stay in `buf`).
+    Stage 2 (depth/loss): DispNet on the target + multi-scale
+    photometric view-synthesis loss (train/losses.photometric_loss)
+    against the carried pose and per-microbatch intrinsics; optional
+    supervised pose term rides along (pose_weight > 0).
+
+    Per-microbatch side inputs (K, gt_vec) are injected at stage 0 and
+    travel the ring WITH the activations, so stage 2 never needs to
+    index the global arrays with a lagged tick counter.
+
+    Returns jitted:
+        loss_fn(params, microbatches, Ks, gt_vec) -> scalar
+        grad_fn(params, microbatches, Ks, gt_vec) -> (loss, grads)
+    with microbatches (M, mb, H, W, 10), Ks (M, mb, 3, 3),
+    gt_vec (M, mb, 6). Differentiating the scan/ppermute schedule is
+    the GPipe backward (see `make_pipeline_train_fns`).
+    """
+    assert mesh.shape[axis] == NUM_STAGES_FULL, mesh.shape
+    from davo_tpu.models.dispnet import DispNet
+    from davo_tpu.train.losses import photometric_loss, pose_vec_l2
+
+    fnet = FlowNetLite(cfg)
+    pnet = PoseNet(cfg)
+    dnet = DispNet(cfg)
+    use_attn = cfg.attention == "flow_seg"
+    if use_attn:
+        from davo_tpu.models.attention import RegionAttention
+
+        anet = RegionAttention(cfg)
+
+    def flow_stage(p, buf, pose, K, gt):
+        tgt, src = buf[..., 0:3], buf[..., 3:6]
+        pyr = fnet.apply({"params": p["flownet"]}, tgt, src)
+        H, W = tgt.shape[1], tgt.shape[2]
+        flow_full = FlowNetLite.full_res_flow(pyr[0], H, W)
+        buf = jnp.concatenate(
+            [buf[..., :7], flow_full.astype(buf.dtype), buf[..., 9:]],
+            axis=-1,
+        )
+        return buf, pose, jnp.zeros((), jnp.float32)
+
+    def pose_stage(p, buf, pose, K, gt):
+        tgt, src = buf[..., 0:3], buf[..., 3:6]
+        extra = buf[..., 6:9]
+        region_fn = None
+        if use_attn:
+            weights = anet.apply({"params": p["attn"]}, buf[..., 7:9])
+            seg_oh = seg_to_onehot(
+                buf[..., 9].astype(jnp.int32), cfg.num_seg_classes
+            )
+            region_fn = lambda hw: region_weight_map(weights, seg_oh, hw)
+        pose = pnet.apply(
+            {"params": p["posenet"]}, tgt, src,
+            extra=extra, region_weight_fn=region_fn,
+        )
+        return buf, pose, jnp.zeros((), jnp.float32)
+
+    def depth_stage(p, buf, pose, K, gt):
+        tgt, src = buf[..., 0:3], buf[..., 3:6]
+        disps = dnet.apply({"params": p["dispnet"]}, tgt)
+        loss = photometric_loss(
+            disps, pose[:, None], tgt, src[:, None], K,
+            ssim_weight=ssim_weight, masking=photo_masking,
+        )
+        if pose_weight:
+            loss = loss + pose_weight * pose_vec_l2(pose, gt)
+        return buf, pose, loss
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def pipelined_loss(params, microbatches, Ks, gt_vec):
+        p = params["params"]
+        M = microbatches.shape[0]
+        mb = microbatches.shape[1]
+        H, W = microbatches.shape[2], microbatches.shape[3]
+        stage = lax.axis_index(axis)
+        perm = [
+            (i, (i + 1) % NUM_STAGES_FULL) for i in range(NUM_STAGES_FULL)
+        ]
+
+        def tick(carry, t):
+            buf, pose, K, gt = carry
+            idx = jnp.clip(t, 0, M - 1)
+            fresh_buf = lax.dynamic_index_in_dim(
+                microbatches, idx, 0, keepdims=False
+            )
+            fresh_K = lax.dynamic_index_in_dim(Ks, idx, 0, keepdims=False)
+            fresh_gt = lax.dynamic_index_in_dim(
+                gt_vec, idx, 0, keepdims=False
+            )
+            is0 = stage == 0
+            buf = jnp.where(is0, fresh_buf, buf)
+            K = jnp.where(is0, fresh_K, K)
+            gt = jnp.where(is0, fresh_gt, gt)
+            buf, pose, loss = lax.switch(
+                jnp.minimum(stage, NUM_STAGES_FULL - 1),
+                [flow_stage, pose_stage, depth_stage],
+                p, buf, pose, K, gt,
+            )
+            # Only the last stage's loss is real; zero elsewhere so the
+            # psum is exactly its value.
+            loss = lax.psum(loss * (stage == NUM_STAGES_FULL - 1), axis)
+            buf, pose, K, gt = lax.ppermute(
+                (buf, pose, K, gt), axis, perm
+            )
+            return (buf, pose, K, gt), loss
+
+        carry0 = (
+            jnp.zeros((mb, H, W, BUF_CHANNELS), microbatches.dtype),
+            jnp.zeros((mb, 6), jnp.float32),
+            # Identity K, NOT zeros: bubble-tick losses are sliced off
+            # the output, but a fx=0 division-by-zero in the warp makes
+            # them NaN and 0 * NaN = NaN poisons the backward.
+            jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (mb, 3, 3)),
+            jnp.zeros((mb, 6), jnp.float32),
+        )
+        _, losses = lax.scan(
+            tick, carry0, jnp.arange(M + NUM_STAGES_FULL - 1)
+        )
+        # Tick t >= S-1 emits microbatch t-(S-1)'s loss.
+        return jnp.mean(losses[NUM_STAGES_FULL - 1 :])
+
+    return jax.jit(pipelined_loss), jax.jit(
+        jax.value_and_grad(pipelined_loss)
+    )
+
+
 def make_pipeline_train_fns(cfg: ModelConfig, mesh: Mesh, axis: str = "stage"):
     """Pipeline-parallel TRAINING: loss + grads through the staged
     schedule.

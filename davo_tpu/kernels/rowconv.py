@@ -406,10 +406,17 @@ def _strided_chain_kernel(
         cout = w_ref.shape[2]
         win = win_hi - win_lo + 1
         col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
-        scratch[0:pad_b, :] = jnp.zeros((pad_b, cin), compute_dtype)
+        # Static guards: a k=3 stride-2 layer has pad_b == 0 and a
+        # zero-row jnp.zeros store is the "Invalid type:
+        # broadcast_in_dim" Mosaic rejection (r3 probe finding).
+        if pad_b:
+            scratch[0:pad_b, :] = jnp.zeros((pad_b, cin), compute_dtype)
         scratch[pad_b : pad_b + P, :] = x
         pad_a = scratch.shape[0] - pad_b - P
-        scratch[pad_b + P :, :] = jnp.zeros((pad_a, cin), compute_dtype)
+        if pad_a:
+            scratch[pad_b + P :, :] = jnp.zeros(
+                (pad_a, cin), compute_dtype
+            )
         acc = jnp.zeros((P, cout), jnp.float32)
         for wy in range(win_lo, win_hi + 1):
             for wx in range(win_lo, win_hi + 1):
@@ -1285,10 +1292,16 @@ def _strided_bwd_kernel(
         scratch_in = scratches[2 * layer]
         scratch_dx = scratches[2 * layer + 1]
         col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % W
-        scratch_in[0:pad_b, :] = jnp.zeros((pad_b, cin), jnp.float32)
+        # Static guards: pad_b/pad_a can be 0 (k=3 stride-2 layers) and
+        # zero-row stores are rejected by Mosaic (r3 probe finding).
+        if pad_b:
+            scratch_in[0:pad_b, :] = jnp.zeros((pad_b, cin), jnp.float32)
         scratch_in[pad_b : pad_b + P, :] = a_in
         pad_a = scratch_in.shape[0] - pad_b - P
-        scratch_in[pad_b + P :, :] = jnp.zeros((pad_a, cin), jnp.float32)
+        if pad_a:
+            scratch_in[pad_b + P :, :] = jnp.zeros(
+                (pad_a, cin), jnp.float32
+            )
         scratch_dx[...] = jnp.zeros(scratch_dx.shape, jnp.float32)
         for wy in range(lo, hi + 1):
             for wx in range(lo, hi + 1):

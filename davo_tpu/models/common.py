@@ -38,3 +38,17 @@ def upsample2(x: jnp.ndarray) -> jnp.ndarray:
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (B, H, 2, W, 2, C))
     return x.reshape(B, 2 * H, 2 * W, C)
+
+
+def resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
+    """Nearest 2x upsample + crop to an exact (H, W).
+
+    Gather-free (broadcast-reshape + slice; `jax.image.resize` lowers
+    to a slow TPU gather). Handles the odd sizes a stride-2 SAME
+    encoder produces at 416-wide inputs: every decoder target is
+    ceil(2x_source/2), so 2x-then-crop reaches it exactly.
+    """
+    H, W = x.shape[1], x.shape[2]
+    h, w = hw
+    assert h <= 2 * H and w <= 2 * W, (x.shape, hw)
+    return upsample2(x)[:, :h, :w]

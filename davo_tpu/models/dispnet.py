@@ -14,21 +14,11 @@ import jax
 import jax.numpy as jnp
 
 from davo_tpu.config import ModelConfig
-from davo_tpu.models.common import ConvBlock, dtype_of, upsample2
-
-
-def _resize_nearest(x: jnp.ndarray, hw: tuple[int, int]) -> jnp.ndarray:
-    """Nearest 2x upsample + crop to an exact (H, W).
-
-    Gather-free (broadcast-reshape + slice; `jax.image.resize` lowers
-    to a slow TPU gather). Handles the odd sizes a stride-2 SAME
-    encoder produces at 416-wide inputs: every decoder target is
-    ceil(2x_source/2), so 2x-then-crop reaches it exactly.
-    """
-    H, W = x.shape[1], x.shape[2]
-    h, w = hw
-    assert h <= 2 * H and w <= 2 * W, (x.shape, hw)
-    return upsample2(x)[:, :h, :w]
+from davo_tpu.models.common import (
+    ConvBlock,
+    dtype_of,
+    resize_nearest as _resize_nearest,
+)
 
 DISP_SCALING = 10.0
 MIN_DISP = 0.01

@@ -230,21 +230,33 @@ def geometry_consistency_loss(
     return total / S
 
 
-def pose_vec_l2(poses: jnp.ndarray, gt_vec: jnp.ndarray) -> jnp.ndarray:
+def pose_vec_l2(
+    poses: jnp.ndarray, gt_vec: jnp.ndarray, rot_weight: float = 10.0
+) -> jnp.ndarray:
     """L2 between predicted and GT pose VECTORS ([t, r_euler]) with
     rotation weighted up (radians are small vs meters). Shared by the
-    supervised loss and the pipeline-parallel train step."""
+    supervised loss and the pipeline-parallel train step.
+
+    rot_weight: at KITTI-scale motions (~0.8 m, ~0.01 rad per frame)
+    the SQUARED terms differ by ~10^4, so the historical 10.0 leaves
+    rotation ~600x under-trained — the r2 e2e runs showed r_err
+    33 deg/100m and an attention ablation that inverted on rotation.
+    Configurable via TrainConfig.rot_weight so the quality ladder can
+    balance the terms per regime.
+    """
     t_err = jnp.sum((poses[..., :3] - gt_vec[..., :3]) ** 2, axis=-1)
     r_err = jnp.sum((poses[..., 3:] - gt_vec[..., 3:]) ** 2, axis=-1)
-    return jnp.mean(t_err + 10.0 * r_err)
+    return jnp.mean(t_err + rot_weight * r_err)
 
 
-def pose_supervision_loss(poses: jnp.ndarray, gt_pose: jnp.ndarray) -> jnp.ndarray:
+def pose_supervision_loss(
+    poses: jnp.ndarray, gt_pose: jnp.ndarray, rot_weight: float = 10.0
+) -> jnp.ndarray:
     """L2 between predicted pose vectors and GT warp transforms.
 
     poses: (B, S, 6) predicted [t, r_euler]; gt_pose: (B, S, 4, 4).
     """
-    return pose_vec_l2(poses, geo.mat_to_pose_vec(gt_pose))
+    return pose_vec_l2(poses, geo.mat_to_pose_vec(gt_pose), rot_weight)
 
 
 def flow_losses(
@@ -337,7 +349,9 @@ def total_loss(
         metrics["flow"] = fl
 
     if tcfg.pose_supervision_weight > 0.0 and "gt_pose" in batch:
-        sup = pose_supervision_loss(outputs["poses"], batch["gt_pose"])
+        sup = pose_supervision_loss(
+            outputs["poses"], batch["gt_pose"], tcfg.rot_weight
+        )
         loss = loss + tcfg.pose_supervision_weight * sup
         metrics["pose_sup"] = sup
 

@@ -20,7 +20,10 @@ Usage: tools/dev/tpu_run.sh tools/dev/exp_costvol_rows.py 3600 3
 import dataclasses
 import json
 import os
+import re
 import sys
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
@@ -91,6 +94,7 @@ def _save_results(res: dict) -> None:
     tmp = RESULTS + ".tmp"
     with open(tmp, "w") as f:
         json.dump(res, f, indent=1, sort_keys=True)
+        f.write("\n")
     os.replace(tmp, RESULTS)
 
 
@@ -206,8 +210,9 @@ def main():
         try:
             out, ms = bench(tag, dataclasses.replace(bases[base], **over))
         except Exception as e:
-            print(f"{tag} FAILED: {str(e)[:300]}", flush=True)
-            res[tag].update(status="failed", error=str(e)[:300])
+            err = _ANSI.sub("", str(e))[:300]
+            print(f"{tag} FAILED: {err}", flush=True)
+            res[tag].update(status="failed", error=err)
             _save_results(res)
             continue
         res[tag].update(status="done", ms=ms, fps=B / ms * 1000)
