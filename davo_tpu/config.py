@@ -161,6 +161,13 @@ class TrainConfig:
     # photometric-loss FLOPs); train-time only. Flag-gated pending TPU
     # e2e validation (training-dynamics conclusions need chip runs).
     photo_fullres: bool = False
+    # SC-SfMLearner-style per-image mean normalization of depth inside
+    # the photometric + geometry-consistency losses (unsupervised
+    # regime only — fights GT translation under pose supervision).
+    # Pins every frame's depth to mean 1 so pose translation carries
+    # one global scale instead of drifting per snippet (r2 tier B
+    # landed at eval scale 0.09).
+    depth_norm: bool = False
     # Ramp the photometric gradient INTO DEPTH over the first N steps
     # (loss value unchanged; pose/flow gradients untouched). While
     # poses are still wrong, the photometric landscape prefers

@@ -38,6 +38,13 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+# XLA promotes SMALL pallas operands wholly into VMEM ("allocating on
+# stack"); with the 16 MiB default scoped-vmem limit that OOMs the
+# compile at probe/test shapes even though production shapes stream
+# from HBM (R3_RESULTS "Mosaic mystery"). Raise the per-kernel limit.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _const_spec(shape) -> pl.BlockSpec:
     """BlockSpec for an operand every grid step sees whole (weights,
     grid-accumulated grads)."""
@@ -262,6 +269,7 @@ def flow_level_fused(
             transcendentals=0,
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(
         f1.reshape(B, P, C),
         f2.reshape(B, P, C),
@@ -540,6 +548,7 @@ def conv_chain_strided(
             transcendentals=0,
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(x.reshape(B, H * W, C0), *wb)
     outs = [
         o.reshape(B, geoms[t][0], geoms[t][1], weights[t].shape[3])
@@ -602,6 +611,7 @@ def conv_chain_nhwc(
             transcendentals=0,
         ),
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(x.reshape(B, P, C0), *wb)
     return out.reshape(B, H, W, cout)
 
@@ -765,6 +775,7 @@ def _chain_fwd_all(x, weights, biases, relus, compute_dtype_name):
         ],
         scratch_shapes=[pltpu.VMEM((P + 2 * (W + 1), cmax), compute_dtype)],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(x.reshape(B, P, C0), *wb)
     return acts
 
@@ -855,6 +866,7 @@ def _chain_ad_bwd(relus, compute_dtype_name, res, g):
             pltpu.VMEM((P + 2 * (W + 1), cmax), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(*a_ins, g.reshape(B, P, weights[-1].shape[3]), *w9s)
     dws = tuple(
         dwdb[i].reshape(3, 3, *weights[i].shape[2:]).astype(
@@ -1075,6 +1087,7 @@ def _flow_level_fwd_all(
             pltpu.VMEM((P + 2 * (W + 1), cmax), compute_dtype),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(
         f1.reshape(B, P, C),
         f2.reshape(B, P, C),
@@ -1162,6 +1175,7 @@ def _flow_level_ad_bwd(search, relus, compute_dtype_name, res, g):
             pltpu.VMEM((P + 2 * pad_cv, C), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(*ins, *w9s)
     df1, df2, dfeat, dflow = outs[:4]
     dws = tuple(
@@ -1418,6 +1432,7 @@ def _strided_ad_bwd(strides, relus, taps, compute_dtype_name, res, g):
         ],
         scratch_shapes=scratch_shapes,
         interpret=_interpret(),
+        compiler_params=_COMPILER_PARAMS,
     )(*ins, *w9s)
     dx = outs[0].reshape(B, H, W, C0).astype(x.dtype)
     dws = []

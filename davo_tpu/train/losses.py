@@ -54,6 +54,7 @@ def photometric_loss(
     masking: str = "border",
     depth_grad_scale: jnp.ndarray | float = 1.0,
     fullres: bool = False,
+    depth_norm: bool = False,
 ) -> jnp.ndarray:
     """Multi-scale view-synthesis loss.
 
@@ -76,6 +77,14 @@ def photometric_loss(
     photometric term on the FULL-RES images (one shared full-res
     warp/compare path; the scale pyramid survives only through the
     disparity heads). See `TrainConfig.photo_fullres`.
+    depth_norm: SC-SfMLearner-style per-image mean normalization of
+    depth before warping. In the UNSUPERVISED regime nothing ties the
+    depth scale across snippets (r2 tier B drifted to eval scale
+    0.09); dividing by the batch-image mean pins every frame's depth
+    to mean 1 so pose translation carries the (single, global) scale
+    instead of per-snippet products depth_scale x pose_scale. Never
+    use with pose supervision — GT translation then fights the
+    normalization. See `TrainConfig.depth_norm`.
     """
     num_scales = len(disps)
     H, W = target.shape[1], target.shape[2]
@@ -100,6 +109,10 @@ def photometric_loss(
         if fullres and disp_s.shape[1:3] != (H, W):
             disp_s = resize_bilinear_aligned(disp_s, H, W)
         depth = disp_to_depth(disp_s[..., 0])  # (B, h, w)
+        if depth_norm:
+            depth = depth / (
+                jnp.mean(depth, axis=(1, 2), keepdims=True) + _EPS
+            )
         if not (isinstance(depth_grad_scale, float) and depth_grad_scale == 1.0):
             # value == depth; d/d(disp) scaled by depth_grad_scale.
             dsg = jax.lax.stop_gradient(depth)
@@ -181,6 +194,7 @@ def geometry_consistency_loss(
     poses: jnp.ndarray,
     K: jnp.ndarray,
     depth_grad_scale: jnp.ndarray | float = 1.0,
+    depth_norm: bool = False,
 ) -> jnp.ndarray:
     """SC-SfMLearner depth scale-consistency (Bian et al., 2019).
 
@@ -204,6 +218,15 @@ def geometry_consistency_loss(
     B, S = poses.shape[0], poses.shape[1]
     depth_t = disp_to_depth(disp_tgt[..., 0])          # (B, H, W)
     depth_s_all = disp_to_depth(disp_src_flat[..., 0])  # (S*B, H, W)
+    if depth_norm:
+        # Must match photometric_loss's normalization: the poses were
+        # trained against mean-1 depths, so project with the same.
+        depth_t = depth_t / (
+            jnp.mean(depth_t, axis=(1, 2), keepdims=True) + _EPS
+        )
+        depth_s_all = depth_s_all / (
+            jnp.mean(depth_s_all, axis=(1, 2), keepdims=True) + _EPS
+        )
     if not (
         isinstance(depth_grad_scale, float) and depth_grad_scale == 1.0
     ):
@@ -326,6 +349,7 @@ def total_loss(
         outputs["disp"], outputs["poses"], target, sources, K,
         tcfg.ssim_weight, masking=tcfg.photo_masking,
         depth_grad_scale=dgs, fullres=tcfg.photo_fullres,
+        depth_norm=tcfg.depth_norm,
     )
     smooth = smoothness_loss(outputs["disp"], target)
     loss = photo + tcfg.smooth_weight * smooth
@@ -335,7 +359,7 @@ def total_loss(
     if tcfg.geo_consistency_weight > 0.0 and "disp_src" in outputs:
         gc = geometry_consistency_loss(
             outputs["disp"][0], outputs["disp_src"][0], outputs["poses"], K,
-            depth_grad_scale=dgs,
+            depth_grad_scale=dgs, depth_norm=tcfg.depth_norm,
         )
         loss = loss + tcfg.geo_consistency_weight * gc
         metrics["geo_consistency"] = gc

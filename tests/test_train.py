@@ -94,6 +94,36 @@ class TestLosses:
         bad0 = float(photometric_loss(disps[:1], bad_poses, target, sources, K, 0.85))
         assert bad0 > 3 * good0
 
+    def test_depth_norm_global_scale_invariance(self, seq):
+        """SC-SfM depth_norm: the photometric loss must be invariant to
+        a GLOBAL depth rescale (that is the scale-drift direction it
+        exists to quotient out). A uniform disparity shift multiplies
+        every depth by a constant under the log parametrization."""
+        t = 3
+        target = jnp.asarray(seq.frame(t))[None]
+        sources = jnp.asarray(seq.frame(t - 1))[None, None]
+        K = jnp.asarray(seq.K, jnp.float32)[None]
+        from davo_tpu.core.geometry import mat_to_pose_vec
+        from davo_tpu.models.dispnet import depth_to_disp
+
+        disp0 = depth_to_disp(jnp.asarray(seq.depth(t))[None])[..., None]
+        pose = mat_to_pose_vec(
+            jnp.asarray(seq.warp_pose(t, t - 1), jnp.float32)
+        )[None, None]
+        a = float(photometric_loss(
+            [disp0], pose, target, sources, K, 0.85, depth_norm=True
+        ))
+        b = float(photometric_loss(
+            [disp0 + 0.1], pose, target, sources, K, 0.85, depth_norm=True
+        ))
+        assert a == pytest.approx(b, rel=1e-4)
+        # Without normalization the rescale moves the loss.
+        c = float(photometric_loss([disp0], pose, target, sources, K, 0.85))
+        d = float(photometric_loss(
+            [disp0 + 0.1], pose, target, sources, K, 0.85
+        ))
+        assert abs(c - d) > 1e-4
+
     def test_no_empty_mask_degeneracy(self, seq):
         """Regression (r2 TPU collapse): a pose that warps EVERYTHING
         out of frame must not be a photometric optimum. The masked

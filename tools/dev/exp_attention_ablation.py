@@ -72,12 +72,35 @@ VARIANTS = (
     else ["none", "flow", "flow_seg"]
 )
 
+# Resumable: skip variants already recorded at the same step count.
+if os.path.exists(OUT):
+    with open(OUT) as f:
+        _prev = json.load(f)
+    if _prev.get("steps") == STEPS:
+        report["variants"].update(_prev.get("variants", {}))
+
 for variant in VARIANTS:
-    attention = "flow_seg" if variant == "flow_seg_fb" else variant
+    if variant in report["variants"]:
+        print(f"[{variant}] done previously, skipping", flush=True)
+        continue
+    # flow_seg_fb   = flow_seg + occlusion-aware fb-consistency cue
+    # flow_seg_fast = flow_seg + davo-fast's exact serving perf knobs
+    #                 (learned 8-ch correlation projection, search=3)
+    #                 — the dynamic-world quality gate VERDICT r2
+    #                 weak #6 asked for.
+    attention = (
+        "flow_seg" if variant in ("flow_seg_fb", "flow_seg_fast")
+        else variant
+    )
     cue = "flow_fb" if variant == "flow_seg_fb" else "flow"
+    extra = (
+        {"costvol_feat_channels": 8, "flow_search_range": 3}
+        if variant == "flow_seg_fast"
+        else {}
+    )
     cfg = Config(
         model=dataclasses.replace(
-            base.model, attention=attention, attention_cue=cue
+            base.model, attention=attention, attention_cue=cue, **extra
         ),
         train=TrainConfig(
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
@@ -109,6 +132,10 @@ for variant in VARIANTS:
     res["train_last"] = history[-1]
     report["variants"][variant] = res
     print(f"[{variant}] {json.dumps(res, default=float)}", flush=True)
+    with open(OUT + ".tmp", "w") as f:
+        json.dump(report, f, indent=2, default=float)
+        f.write("\n")
+    os.replace(OUT + ".tmp", OUT)
 
 if "none" in report["variants"] and "flow_seg" in report["variants"]:
     none_ate = report["variants"]["none"]["snippet_ate_mean"]

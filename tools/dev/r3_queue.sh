@@ -29,11 +29,12 @@ jobs=(
   "tools/dev/exp_latency.py|2400|2"
   # 8. training-step throughput sweep
   "tools/dev/exp_train_prof.py|3600|2"
-  # 9. fb-consistency attention cue ablation (vs flow_seg on the same
-  #    worlds; the none/flow/flow_seg triple is already recorded)
-  "tools/dev/exp_attention_ablation.py 2000 /root/repo/attention_ablation_fb.json flow_seg,flow_seg_fb|7200|2"
-  # 10. SC-SfMLearner geometry-consistency unsup arm
-  "tools/dev/exp_unsup_geo.py|7200|2"
+  # 9. fb-consistency attention cue + davo-fast-knob quality gates
+  #    (vs flow_seg on the same dynamic worlds; none/flow/flow_seg
+  #    triple is already recorded in attention_ablation.json)
+  "tools/dev/exp_attention_ablation.py 2000 /root/repo/attention_ablation_r3.json flow_seg,flow_seg_fb,flow_seg_fast|10800|2"
+  # 10. SC-SfMLearner geometry-consistency + depth_norm unsup arms
+  "tools/dev/exp_unsup_geo.py 2500 /root/repo/results_r3_unsup_geo.json 0.0,0.5,0.5n,0.0f|14400|2"
   # 11. warm cache + headline
   "bench.py|1200|3"
 )
