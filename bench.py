@@ -76,8 +76,46 @@ def _wait_for_tpu_tunnel() -> None:
     sys.exit(1)
 
 
+def flag_overrides(flags: dict) -> dict:
+    """The BENCH_FLAGS gate, exposed for tests: overrides apply ONLY
+    when hardware-validated AND the kernel/model fingerprint matches
+    the code being benchmarked (update_bench_flags.py is the writer)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "tools", "dev")
+    )
+    from probe_common import fingerprint
+
+    if flags.get("validated_on") == "tpu" and flags.get(
+        "fingerprint"
+    ) == fingerprint():
+        return dict(flags.get("overrides", {}))
+    return {}
+
+
 def main() -> None:
     _wait_for_tpu_tunnel()
+
+    # Hardware-validated serving overrides (fused Pallas paths): written
+    # ONLY by tools/dev/update_bench_flags.py after the candidate ran,
+    # matched the XLA baseline, and won throughput on the real chip —
+    # bench never risks an unvalidated compile at round end. Loaded
+    # BEFORE importing jax because a promoted winner may carry env
+    # (XLA_FLAGS such as the scoped-vmem limit, R3_RESULTS.md) that
+    # must be in place at backend init / first compile.
+    overrides: dict = {}
+    flags: dict = {}
+    flags_path = os.path.join(os.path.dirname(__file__), "BENCH_FLAGS.json")
+    if os.path.exists(flags_path):
+        with open(flags_path) as f:
+            flags = json.load(f)
+        overrides = flag_overrides(flags)
+        if overrides:
+            for key, val in flags.get("env", {}).items():
+                cur = os.environ.get(key, "")
+                if val not in cur:
+                    os.environ[key] = f"{cur} {val}".strip()
 
     import jax
     import jax.numpy as jnp
@@ -104,35 +142,21 @@ def main() -> None:
     # preset (search=4, no projection) measures 14.4 ms vs 10.1 ms at
     # B=128 — both ladders recorded in R2_RESULTS.md.
     full_cfg = presets.get("davo-fast")
-    # Hardware-validated serving overrides (fused Pallas paths): written
-    # ONLY by tools/dev/update_bench_flags.py after the candidate ran,
-    # matched the XLA baseline, and won throughput on the real chip —
-    # bench never risks an unvalidated compile at round end.
-    flags_path = os.path.join(os.path.dirname(__file__), "BENCH_FLAGS.json")
-    if os.path.exists(flags_path):
-        with open(flags_path) as f:
-            flags = json.load(f)
+    if overrides:
         import sys
 
-        sys.path.insert(
-            0, os.path.join(os.path.dirname(__file__), "tools", "dev")
+        from davo_tpu.config import apply_overrides
+
+        full_cfg = apply_overrides(full_cfg, overrides)
+        # stdout stays the one driver-parsed JSON line; record the
+        # config provenance on stderr so round headlines remain
+        # attributable (flags change what is being measured).
+        print(
+            f"bench: applying BENCH_FLAGS overrides "
+            f"{flags['overrides']} env={flags.get('env', {})} "
+            f"(probe: {flags.get('probe')})",
+            file=sys.stderr,
         )
-        from probe_common import fingerprint
-
-        if flags.get("validated_on") == "tpu" and flags.get(
-            "fingerprint"
-        ) == fingerprint():
-            from davo_tpu.config import apply_overrides
-
-            full_cfg = apply_overrides(full_cfg, flags["overrides"])
-            # stdout stays the one driver-parsed JSON line; record the
-            # config provenance on stderr so round headlines remain
-            # attributable (flags change what is being measured).
-            print(
-                f"bench: applying BENCH_FLAGS overrides "
-                f"{flags['overrides']} (probe: {flags.get('probe')})",
-                file=sys.stderr,
-            )
     cfg = full_cfg.model
     model = DavoModel(cfg)
     rng = np.random.default_rng(0)

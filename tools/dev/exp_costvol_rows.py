@@ -20,10 +20,7 @@ Usage: tools/dev/tpu_run.sh tools/dev/exp_costvol_rows.py 3600 3
 import dataclasses
 import json
 import os
-import re
 import sys
-
-_ANSI = re.compile(r"\x1b\[[0-9;]*[a-zA-Z]")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
@@ -72,7 +69,7 @@ MAX_ATTEMPTS = 2  # kills are often transient (tunnel claim hangs);
                   # give every probe a second try before branding it
                   # hung and skipping it for good.
 
-from probe_common import fingerprint  # noqa: E402 (same directory)
+from probe_common import compile_error_summary, fingerprint  # noqa: E402
 
 
 def _load_results() -> dict:
@@ -125,6 +122,7 @@ def main():
         "base": "davo-fast", "overrides": {}, "equality_checked": False,
         "out_absmax": float(np.abs(ref_out).max()),
         "attempts": attempts + 1,
+        "xla_flags": os.environ.get("XLA_FLAGS", ""),
     }
     _save_results(res)
 
@@ -205,12 +203,16 @@ def main():
         res[tag] = {
             "status": "started", "base": base, "overrides": over,
             "equality_checked": check_equal, "attempts": attempts + 1,
+            # Provenance: fused kernels may only compile under extra
+            # client XLA flags (scoped-vmem, R3_RESULTS); a promoted
+            # winner must carry the env it was measured under.
+            "xla_flags": os.environ.get("XLA_FLAGS", ""),
         }
         _save_results(res)
         try:
             out, ms = bench(tag, dataclasses.replace(bases[base], **over))
         except Exception as e:
-            err = _ANSI.sub("", str(e))[:300]
+            err = compile_error_summary(e)
             print(f"{tag} FAILED: {err}", flush=True)
             res[tag].update(status="failed", error=err)
             _save_results(res)

@@ -86,6 +86,12 @@ def main() -> None:
         "maxerr": r["maxerr"],
         "tolerance": tol,
     }
+    # Fused kernels may only compile under extra client XLA flags
+    # (scoped-vmem promotion OOM, R3_RESULTS.md); a promoted winner
+    # carries the env it was measured under and bench.py re-applies it
+    # before backend init.
+    if r.get("xla_flags"):
+        flags["env"] = {"XLA_FLAGS": r["xla_flags"]}
     tmp = FLAGS + ".tmp"
     with open(tmp, "w") as f:
         json.dump(flags, f, indent=1, sort_keys=True)
