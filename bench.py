@@ -100,10 +100,10 @@ def main() -> None:
     # Hardware-validated serving overrides (fused Pallas paths): written
     # ONLY by tools/dev/update_bench_flags.py after the candidate ran,
     # matched the XLA baseline, and won throughput on the real chip —
-    # bench never risks an unvalidated compile at round end. Loaded
-    # BEFORE importing jax because a promoted winner may carry env
-    # (XLA_FLAGS such as the scoped-vmem limit, R3_RESULTS.md) that
-    # must be in place at backend init / first compile.
+    # bench never risks an unvalidated compile at round end. A winner
+    # may also carry per-computation PJRT compiler options (e.g. the
+    # scoped-vmem limit the fused kernels need, R3_RESULTS.md) applied
+    # below via lower().compile(...) under the same gate.
     overrides: dict = {}
     flags: dict = {}
     flags_path = os.path.join(os.path.dirname(__file__), "BENCH_FLAGS.json")
@@ -111,11 +111,6 @@ def main() -> None:
         with open(flags_path) as f:
             flags = json.load(f)
         overrides = flag_overrides(flags)
-        if overrides:
-            for key, val in flags.get("env", {}).items():
-                cur = os.environ.get(key, "")
-                if val not in cur:
-                    os.environ[key] = f"{cur} {val}".strip()
 
     import jax
     import jax.numpy as jnp
@@ -153,7 +148,8 @@ def main() -> None:
         # attributable (flags change what is being measured).
         print(
             f"bench: applying BENCH_FLAGS overrides "
-            f"{flags['overrides']} env={flags.get('env', {})} "
+            f"{flags['overrides']} "
+            f"compiler_options={flags.get('compiler_options', {})} "
             f"(probe: {flags.get('probe')})",
             file=sys.stderr,
         )
@@ -175,6 +171,12 @@ def main() -> None:
     def infer(targets, sources, seg):
         out = model.apply(params, targets, sources, seg=seg, train=False)
         return out["poses"]
+
+    copts = flags.get("compiler_options") if overrides else None
+    if copts:
+        infer = infer.lower(targets, sources, seg).compile(
+            compiler_options=copts
+        )
 
     # Compile + warmup.
     for _ in range(WARMUP):

@@ -52,6 +52,12 @@ class ModelConfig:
     attention_cue: str = "flow"
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
+    # Fused-kernel compute mode, independent of the XLA path's
+    # compute_dtype ("" = follow compute_dtype). "bf16_dot" keeps the
+    # in-kernel scratch f32 and casts only the MXU dot operands to
+    # bf16 — the candidate rewrite for Mosaic's "Bad lhs type"
+    # rejection of the bf16 chains (kernels/rowconv._DTYPE_MODES).
+    fuse_compute: str = ""
     # Standalone the Pallas cost volume beats the XLA lowering, but
     # in-context it blocks XLA fusion around it (measured r1: 3831 ->
     # 2717 fps e2e). Off by default until the fused estimator kernel

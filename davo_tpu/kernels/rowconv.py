@@ -67,8 +67,24 @@ def _wb_and_specs(weights, biases):
     return wb, specs
 
 
+# Compute-mode name -> (scratch/activation dtype, MXU dot operand
+# dtype). "bf16_dot" keeps activations + masks f32 in VMEM and casts
+# tap/weight VALUES to bf16 at each dot: same MXU rate as "bfloat16",
+# but the dot's LHS is a freshly-cast value with a natural layout
+# rather than a bf16 row-slice at an odd offset — the suspected cause
+# of Mosaic's "Bad lhs type" rejection of the bf16 chains on hardware
+# (R3_RESULTS; bf16 tiles 16 rows vs f32's 8, so odd-offset slices
+# need a relayout Mosaic may not support for the MXU operand).
+_DTYPE_MODES = {
+    "float32": (jnp.float32, jnp.float32),
+    "bfloat16": (jnp.bfloat16, jnp.bfloat16),
+    "bf16_dot": (jnp.float32, jnp.bfloat16),
+}
+
+
 def _run_3x3_chain(
-    x, wb_refs, scratch, width, relus, compute_dtype, act_refs=None
+    x, wb_refs, scratch, width, relus, compute_dtype, act_refs=None,
+    dot_dtype=None,
 ):
     """Stride-1 3x3 SAME chain body on a rows-layout (P, C) value.
 
@@ -80,6 +96,8 @@ def _run_3x3_chain(
     When `act_refs` is given, layer i's post-activation output is also
     written to act_refs[i] (the VJP forward's residuals).
     """
+    if dot_dtype is None:
+        dot_dtype = compute_dtype
     P = x.shape[0]
     pad = width + 1
     col = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0) % width
@@ -105,8 +123,8 @@ def _run_3x3_chain(
                 elif kx == 2:
                     tap = tap * mask_r
                 acc += jax.lax.dot(
-                    tap,
-                    w_ref[ky * 3 + kx].astype(compute_dtype),
+                    tap.astype(dot_dtype),
+                    w_ref[ky * 3 + kx].astype(dot_dtype),
                     preferred_element_type=jnp.float32,
                 )
         x = (acc + b_ref[0]).astype(compute_dtype)
@@ -118,7 +136,9 @@ def _run_3x3_chain(
     return x
 
 
-def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
+def _chain_kernel(
+    *refs, height, width, n_layers, relus, compute_dtype, dot_dtype=None
+):
     """refs = [x_ref, (w_ref, b_ref) * n_layers, out_ref, scratch].
 
     x_ref (1, P, C0); w (9, Cin, Cout); b (1, Cout);
@@ -133,7 +153,7 @@ def _chain_kernel(*refs, height, width, n_layers, relus, compute_dtype):
     scratch = refs[2 + 2 * n_layers]
     x = _run_3x3_chain(
         x_ref[0].astype(compute_dtype), wb_refs, scratch, width, relus,
-        compute_dtype,
+        compute_dtype, dot_dtype=dot_dtype,
     )
     out_ref[0] = x.astype(out_ref.dtype)
 
@@ -165,7 +185,8 @@ def _rows_costvol(f1, f2_ref, cv_scratch, width, search):
 
 
 def _flow_level_kernel(
-    *refs, height, width, search, n_layers, relus, compute_dtype
+    *refs, height, width, search, n_layers, relus, compute_dtype,
+    dot_dtype=None,
 ):
     """Cost volume + ReLU + concat + estimator conv chain, one kernel.
 
@@ -197,7 +218,10 @@ def _flow_level_kernel(
     ).astype(compute_dtype)
 
     # --- conv chain (shared body, same tap scheme as _chain_kernel) ---
-    x = _run_3x3_chain(x, wb_refs, scratch, width, relus, compute_dtype)
+    x = _run_3x3_chain(
+        x, wb_refs, scratch, width, relus, compute_dtype,
+        dot_dtype=dot_dtype,
+    )
     out_ref[0] = x.astype(out_ref.dtype)
 
 
@@ -227,9 +251,7 @@ def flow_level_fused(
     P = H * W
     D = (2 * search + 1) ** 2
     n_layers = len(relus)
-    compute_dtype = {
-        "bfloat16": jnp.bfloat16, "float32": jnp.float32
-    }[compute_dtype_name]
+    compute_dtype, dot_dtype = _DTYPE_MODES[compute_dtype_name]
     cin0 = D + feat.shape[3] + flow_up.shape[3]
     assert weights[0].shape[2] == cin0, (weights[0].shape, cin0)
     cmax = max([cin0] + [w.shape[3] for w in weights])
@@ -245,6 +267,7 @@ def flow_level_fused(
         partial(
             _flow_level_kernel, height=H, width=W, search=search,
             n_layers=n_layers, relus=relus, compute_dtype=compute_dtype,
+            dot_dtype=dot_dtype,
         ),
         grid=(B,),
         in_specs=[
@@ -383,7 +406,8 @@ def _strided_plan(H, W, weights, strides):
 
 
 def _strided_chain_kernel(
-    *refs, height, width, geoms, relus, taps, compute_dtype
+    *refs, height, width, geoms, relus, taps, compute_dtype,
+    dot_dtype=None,
 ):
     """refs = [x_ref, (w_ref, b_ref) * n, out_ref * len(taps),
     scratch * n].
@@ -395,6 +419,8 @@ def _strided_chain_kernel(
     validity is masked per window column offset. `taps` lists the
     layers whose post-activation outputs are emitted (pyramid levels).
     """
+    if dot_dtype is None:
+        dot_dtype = compute_dtype
     n_layers = len(geoms)
     x_ref = refs[0]
     wb_refs = refs[1 : 1 + 2 * n_layers]
@@ -436,9 +462,9 @@ def _strided_chain_kernel(
                     ).astype(compute_dtype)
                     tap = tap * mask
                 acc += jax.lax.dot(
-                    tap,
+                    tap.astype(dot_dtype),
                     w_ref[(wy - win_lo) * win + (wx - win_lo)].astype(
-                        compute_dtype
+                        dot_dtype
                     ),
                     preferred_element_type=jnp.float32,
                 )
@@ -488,9 +514,7 @@ def conv_chain_strided(
     B, H, W, C0 = x.shape
     n_layers = len(relus)
     assert len(weights) == len(biases) == len(strides) == n_layers
-    compute_dtype = {
-        "bfloat16": jnp.bfloat16, "float32": jnp.float32
-    }[compute_dtype_name]
+    compute_dtype, dot_dtype = _DTYPE_MODES[compute_dtype_name]
     geoms, w9s, scratch_rows = _strided_plan(H, W, weights, strides)
     scratch_shapes = [
         pltpu.VMEM((rows, w9.shape[1]), compute_dtype)
@@ -523,7 +547,7 @@ def conv_chain_strided(
         partial(
             _strided_chain_kernel, height=H, width=W,
             geoms=tuple(geoms), relus=relus, taps=taps_t,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, dot_dtype=dot_dtype,
         ),
         grid=(B,),
         in_specs=[
@@ -577,9 +601,7 @@ def conv_chain_nhwc(
     B, H, W, C0 = x.shape
     P = H * W
     n_layers = len(relus)
-    compute_dtype = {
-        "bfloat16": jnp.bfloat16, "float32": jnp.float32
-    }[compute_dtype_name]
+    compute_dtype, dot_dtype = _DTYPE_MODES[compute_dtype_name]
     cmax = max([C0] + [w.shape[3] for w in weights])
     cout = weights[-1].shape[3]
     wb, wb_specs = _wb_and_specs(weights, biases)
@@ -592,6 +614,7 @@ def conv_chain_nhwc(
         partial(
             _chain_kernel, height=H, width=W, n_layers=n_layers,
             relus=relus, compute_dtype=compute_dtype,
+            dot_dtype=dot_dtype,
         ),
         grid=(B,),
         in_specs=[

@@ -68,7 +68,9 @@ class RegionAttention(nn.Module):
                 )
                 x = fn(
                     x, ws, bs, (2,) * n, (True,) * n,
-                    compute_dtype_name=self.cfg.compute_dtype,
+                    compute_dtype_name=(
+                        self.cfg.fuse_compute or self.cfg.compute_dtype
+                    ),
                 ).astype(dt)
                 start = n
         for i in range(start, len(chans)):

@@ -148,7 +148,9 @@ class DispNet(nn.Module):
                     x, tuple(ws), tuple(bs), strides[: 2 * n_pairs],
                     (True,) * (2 * n_pairs),
                     taps=tuple(2 * i + 1 for i in range(n_pairs)),
-                    compute_dtype_name=self.cfg.compute_dtype,
+                    compute_dtype_name=(
+                        self.cfg.fuse_compute or self.cfg.compute_dtype
+                    ),
                 )
                 skips = [o.astype(dt) for o in outs]
                 x = skips[-1]

@@ -179,7 +179,9 @@ class FeaturePyramid(nn.Module):
                     x, tuple(ws), tuple(bs), strides,
                     (True,) * len(strides),
                     taps=tuple(2 * i + 1 for i in range(len(chans))),
-                    compute_dtype_name=self.cfg.compute_dtype,
+                    compute_dtype_name=(
+                        self.cfg.fuse_compute or self.cfg.compute_dtype
+                    ),
                 )
                 return [f.astype(dt) for f in pyr]
         pyr = []
@@ -237,7 +239,9 @@ class FlowEstimator(nn.Module):
             else:
                 delta = conv_chain_nhwc(
                     x, ws, bs, relus,
-                    compute_dtype_name=self.cfg.compute_dtype,
+                    compute_dtype_name=(
+                        self.cfg.fuse_compute or self.cfg.compute_dtype
+                    ),
                 )
             return flow_up + delta
         for i, ch in enumerate((96, 64, 32)):
@@ -355,7 +359,10 @@ class FlowNetLite(nn.Module):
                 else:
                     delta = flow_level_fused(
                         f1c, f2c, f1, flow_up, ws, bs, search, relus,
-                        compute_dtype_name=self.cfg.compute_dtype,
+                        compute_dtype_name=(
+                            self.cfg.fuse_compute
+                            or self.cfg.compute_dtype
+                        ),
                     )
                 flow = flow_up + delta
             else:

@@ -128,11 +128,13 @@ def test_stale_fingerprint_refuses_and_scrubs(tmp_path, monkeypatch):
     assert not os.path.exists(mod.FLAGS)
 
 
-def test_winner_env_rides_into_flags(tmp_path, monkeypatch):
-    """A winner measured under extra XLA_FLAGS (e.g. the scoped-vmem
-    limit that unblocks the fused kernels, R3_RESULTS.md) must carry
-    that env into BENCH_FLAGS so bench.py reproduces the compile."""
+def test_winner_compiler_options_ride_into_flags(tmp_path, monkeypatch):
+    """A winner measured under extra PJRT compiler options (the
+    scoped-vmem limit that unblocks the fused kernels, R3_RESULTS.md)
+    must carry them into BENCH_FLAGS so bench.py reproduces the
+    compile via lower().compile(compiler_options=...)."""
     mod = _load_module(tmp_path, monkeypatch)
+    opts = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
     _write(mod.RESULTS, {
         "_fingerprint": mod.fingerprint(),
         "davo-fast (slices baseline)": BASE,
@@ -140,26 +142,25 @@ def test_winner_env_rides_into_flags(tmp_path, monkeypatch):
             "status": "done", "fps": 15000.0, "base": "davo-fast",
             "overrides": {"fuse_estimator": True},
             "equality_checked": True, "maxerr": 1e-4,
-            "xla_flags": "--xla_tpu_scoped_vmem_limit_kib=65536",
+            "compiler_options": opts,
         },
     })
     mod.main()
     flags = json.load(open(mod.FLAGS))
-    assert flags["env"] == {
-        "XLA_FLAGS": "--xla_tpu_scoped_vmem_limit_kib=65536"
-    }
-    # And a winner measured under the default env carries none.
+    assert flags["compiler_options"] == opts
+    # A winner measured under default options carries none.
     _write(mod.RESULTS, {
         "_fingerprint": mod.fingerprint(),
         "davo-fast (slices baseline)": BASE,
         "davo-fast (a)": {
             "status": "done", "fps": 15000.0, "base": "davo-fast",
             "overrides": {"fuse_estimator": True},
-            "equality_checked": True, "maxerr": 1e-4, "xla_flags": "",
+            "equality_checked": True, "maxerr": 1e-4,
+            "compiler_options": {},
         },
     })
     mod.main()
-    assert "env" not in json.load(open(mod.FLAGS))
+    assert "compiler_options" not in json.load(open(mod.FLAGS))
 
 
 def test_bench_applies_only_validated_matching_flags(monkeypatch):

@@ -638,6 +638,36 @@ class TestStridedRowChain:
         err = np.abs(np.asarray(got) - ref).max()
         assert err / (np.abs(ref).max() + 1e-6) < 2e-2, err
 
+    def test_bf16_dot_mode_tolerance(self, rng):
+        """bf16_dot (f32 scratch, operands cast to bf16 only at the
+        MXU dot — the "Bad lhs type" rewrite candidate) matches the
+        f32 reference within bf16-class error, on both the strided
+        and the stride-1 chains."""
+        from davo_tpu.kernels.rowconv import (
+            conv_chain_nhwc,
+            conv_chain_strided,
+        )
+
+        x = jnp.asarray(rng.uniform(size=(2, 16, 24, 6)), jnp.float32)
+        ws, bs = self._make(rng, (7, 3, 3), (8, 16, 16), 6)
+        want = self._xla_stack(x, ws, bs, (2, 1, 2))
+        got = conv_chain_strided(
+            x, ws, bs, (2, 1, 2), (True,) * 3,
+            compute_dtype_name="bf16_dot",
+        )
+        ref = np.asarray(want)
+        err = np.abs(np.asarray(got) - ref).max()
+        assert err / (np.abs(ref).max() + 1e-6) < 2e-2, err
+
+        ws1, bs1 = self._make(rng, (3, 3), (8, 8), 6)
+        want1 = self._xla_stack(x, ws1, bs1, (1, 1))
+        got1 = conv_chain_nhwc(
+            x, ws1, bs1, (True, True), compute_dtype_name="bf16_dot"
+        )
+        ref1 = np.asarray(want1)
+        err1 = np.abs(np.asarray(got1) - ref1).max()
+        assert err1 / (np.abs(ref1).max() + 1e-6) < 2e-2, err1
+
     def test_taps_emit_pyramid_levels(self, rng):
         """taps: each tapped layer's output matches the XLA prefix."""
         from davo_tpu.kernels.rowconv import conv_chain_strided

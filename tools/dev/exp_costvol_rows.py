@@ -37,6 +37,16 @@ from davo_tpu.utils.profiling import timed
 
 B = 128
 
+# Per-computation PJRT compiler options, forwarded unvalidated to the
+# axon helper's libtpu (XLA_FLAGS cannot carry TPU-only flags: this
+# jaxlib's client-side parser FATALS on unknown flags). The scoped-
+# vmem raise lets XLA stack-allocate the fused kernels' operands/
+# results in VMEM (the 16M-default OOM that killed every fused arm,
+# R3_RESULTS). Applied to EVERY arm, baseline included, so
+# comparisons stay apples-to-apples; recorded per arm and promoted
+# into BENCH_FLAGS by update_bench_flags.py.
+COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+
 
 def bench(tag, cfg):
     rng = np.random.default_rng(0)
@@ -52,7 +62,7 @@ def bench(tag, cfg):
         lambda a, b, c: model.apply(params, a, b, seg=c, train=False)[
             "poses"
         ]
-    )
+    ).lower(t, s, seg).compile(compiler_options=COMPILER_OPTIONS)
     out = jax.block_until_ready(f(t, s, seg))
     r = timed(f, t, s, seg, iters=10, loops=5)
     print(
@@ -122,7 +132,7 @@ def main():
         "base": "davo-fast", "overrides": {}, "equality_checked": False,
         "out_absmax": float(np.abs(ref_out).max()),
         "attempts": attempts + 1,
-        "xla_flags": os.environ.get("XLA_FLAGS", ""),
+        "compiler_options": COMPILER_OPTIONS,
     }
     _save_results(res)
 
@@ -171,6 +181,52 @@ def main():
             },
             True,
         ),
+        # f32 twins: the bf16 fused chains die in Mosaic with "Bad lhs
+        # type" (r3; suspected bf16 row-slice LHS into the MXU dot).
+        # fuse_compute flips only the KERNEL dtype (the XLA path stays
+        # bf16), so these isolate the bf16 cause cleanly and are
+        # promotable if they win within tolerance.
+        (
+            "davo-fast (fuse_estimator f32)", "davo-fast",
+            {"fuse_estimator": True, "fuse_compute": "float32"}, True,
+        ),
+        (
+            "davo-fast (fuse_flow_level f32)", "davo-fast",
+            {"fuse_flow_level": True, "fuse_compute": "float32"}, True,
+        ),
+        (
+            "davo-fast (all fused f32)", "davo-fast",
+            {
+                "fuse_flow_level": True,
+                "fuse_pyramid": True,
+                "fuse_pose_encoder": True,
+                "fuse_attention": True,
+                "fuse_compute": "float32",
+            },
+            True,
+        ),
+        # bf16_dot twins: f32 in-kernel scratch, operands cast to bf16
+        # only at each MXU dot (kernels/rowconv._DTYPE_MODES) — the
+        # "Bad lhs type" rewrite candidate at full bf16 MXU rate.
+        (
+            "davo-fast (fuse_estimator bf16_dot)", "davo-fast",
+            {"fuse_estimator": True, "fuse_compute": "bf16_dot"}, True,
+        ),
+        (
+            "davo-fast (fuse_flow_level bf16_dot)", "davo-fast",
+            {"fuse_flow_level": True, "fuse_compute": "bf16_dot"}, True,
+        ),
+        (
+            "davo-fast (all fused bf16_dot)", "davo-fast",
+            {
+                "fuse_flow_level": True,
+                "fuse_pyramid": True,
+                "fuse_pose_encoder": True,
+                "fuse_attention": True,
+                "fuse_compute": "bf16_dot",
+            },
+            True,
+        ),
         # Cheap config probe: 3-level pyramid saved ~10 % on paper-davo
         # (r2c); if it repeats, a quality gate (e2e tier) decides.
         ("davo-fast (flow_levels=3)", "davo-fast", {"flow_levels": 3}, False),
@@ -203,10 +259,10 @@ def main():
         res[tag] = {
             "status": "started", "base": base, "overrides": over,
             "equality_checked": check_equal, "attempts": attempts + 1,
-            # Provenance: fused kernels may only compile under extra
-            # client XLA flags (scoped-vmem, R3_RESULTS); a promoted
-            # winner must carry the env it was measured under.
-            "xla_flags": os.environ.get("XLA_FLAGS", ""),
+            # Provenance: the fused kernels only compile under the
+            # scoped-vmem compiler option (R3_RESULTS); a promoted
+            # winner must carry the options it was measured under.
+            "compiler_options": COMPILER_OPTIONS,
         }
         _save_results(res)
         try:

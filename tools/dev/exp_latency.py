@@ -59,6 +59,10 @@ def profile(tag, cfg):
 
 def main():
     print("devices:", jax.devices(), flush=True)
+    if jax.devices()[0].platform != "tpu":
+        print("REFUSING: not on TPU (serving-latency numbers must be "
+              "chip numbers — ADVICE r2)", flush=True)
+        sys.exit(2)
     cfg = presets.get("davo-fast")
     profile("davo-fast", cfg.model)
     flags_path = os.path.join(ROOT, "BENCH_FLAGS.json")

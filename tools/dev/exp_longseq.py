@@ -37,6 +37,12 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 4541
 BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 CHUNK = 512  # host frames rendered/resident at a time
 
+print("devices:", jax.devices(), flush=True)
+if jax.devices()[0].platform != "tpu":
+    print("REFUSING: not on TPU — a CPU-fallback number would pollute "
+          "the long-sequence profile (ADVICE r2)", flush=True)
+    sys.exit(2)
+
 cfg = presets.get("davo-fast")
 H, W = cfg.model.img_height, cfg.model.img_width
 seq = SyntheticSequence(

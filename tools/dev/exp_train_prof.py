@@ -102,6 +102,10 @@ def bench(tag, model_kw, batch, remat=False, sup=0.0):
 
 def main():
     print("devices:", jax.devices(), flush=True)
+    if jax.devices()[0].platform != "tpu":
+        print("REFUSING: not on TPU (training-throughput numbers must "
+              "be chip numbers — ADVICE r2)", flush=True)
+        sys.exit(2)
     full = dict(attention="flow_seg")
     if SMOKE:
         bench("smoke flow_seg B=2", full, 2)

@@ -12,16 +12,22 @@ read -r script scriptargs <<< "$1"; timeout_s="${2:-300}"; tries="${3:-5}"
 LOG="${TPU_RUN_LOG:-/tmp/tpu_run_$$.log}"
 echo "[tpu_run] log: $LOG" >&2
 probe='import jax, jax.numpy as jnp; print(float(jax.jit(lambda x: x.sum())(jnp.ones((128,128))).block_until_ready()))'
-for i in $(seq 1 "$tries"); do
-  if timeout 90 python -c "$probe" > /dev/null 2>&1; then break; fi
-  echo "[tpu_run] probe attempt $i failed; backing off 60s" >&2
-  sleep 60
-  if [ "$i" -eq "$tries" ]; then
-    echo "[tpu_run] chip never answered after $tries probes" >&2
-    exit 124
-  fi
-done
-sleep 10
+# TPU_RUN_SKIP_PROBE=1 launches the script directly: when the tunnel
+# claim is flaky (succeeds ~1 in N), the probe phase burns attempts a
+# separate process already paid for — the startup watchdog below
+# handles claim hangs either way (r3 wedge protocol).
+if [ -z "${TPU_RUN_SKIP_PROBE:-}" ]; then
+  for i in $(seq 1 "$tries"); do
+    if timeout 90 python -c "$probe" > /dev/null 2>&1; then break; fi
+    echo "[tpu_run] probe attempt $i failed; backing off 60s" >&2
+    sleep 60
+    if [ "$i" -eq "$tries" ]; then
+      echo "[tpu_run] chip never answered after $tries probes" >&2
+      exit 124
+    fi
+  done
+  sleep 10
+fi
 for i in $(seq 1 "$tries"); do
   : > "$LOG"
   timeout "$timeout_s" python -u "$script" $scriptargs >> "$LOG" 2>&1 &

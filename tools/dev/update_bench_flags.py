@@ -86,12 +86,13 @@ def main() -> None:
         "maxerr": r["maxerr"],
         "tolerance": tol,
     }
-    # Fused kernels may only compile under extra client XLA flags
-    # (scoped-vmem promotion OOM, R3_RESULTS.md); a promoted winner
-    # carries the env it was measured under and bench.py re-applies it
-    # before backend init.
-    if r.get("xla_flags"):
-        flags["env"] = {"XLA_FLAGS": r["xla_flags"]}
+    # The fused kernels only compile under extra per-computation PJRT
+    # compiler options (scoped-vmem promotion OOM, R3_RESULTS.md;
+    # XLA_FLAGS cannot carry TPU-only flags — the client parser
+    # fatals). A promoted winner carries the options it was measured
+    # under; bench.py re-applies them via lower().compile(...).
+    if r.get("compiler_options"):
+        flags["compiler_options"] = dict(r["compiler_options"])
     tmp = FLAGS + ".tmp"
     with open(tmp, "w") as f:
         json.dump(flags, f, indent=1, sort_keys=True)
