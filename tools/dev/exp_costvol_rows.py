@@ -42,13 +42,20 @@ B = 128
 # jaxlib's client-side parser FATALS on unknown flags). The scoped-
 # vmem raise lets XLA stack-allocate the fused kernels' operands/
 # results in VMEM (the 16M-default OOM that killed every fused arm,
-# R3_RESULTS). Applied to EVERY arm, baseline included, so
-# comparisons stay apples-to-apples; recorded per arm and promoted
-# into BENCH_FLAGS by update_bench_flags.py.
+# R3_RESULTS). Applied ONLY to arms that need it (fused/pallas):
+# baselines stay option-free so promotion compares candidates against
+# the true production program (first with-option run measured the
+# baseline ~9 % slower). Recorded per arm; promoted with the winner.
 COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
-def bench(tag, cfg):
+def _needs_opts(over: dict) -> bool:
+    return any(
+        k.startswith("fuse_") and v is True for k, v in over.items()
+    ) or str(over.get("costvol_impl", "")).startswith("pallas")
+
+
+def bench(tag, cfg, opts=None):
     rng = np.random.default_rng(0)
     H, W = cfg.img_height, cfg.img_width
     t = jnp.asarray(rng.uniform(size=(B, H, W, 3)), jnp.float32)
@@ -58,11 +65,12 @@ def bench(tag, cfg):
     params = jax.jit(model.init, static_argnames=("train",))(
         jax.random.key(0), t, s, train=False, seg=seg
     )
-    f = jax.jit(
+    low = jax.jit(
         lambda a, b, c: model.apply(params, a, b, seg=c, train=False)[
             "poses"
         ]
-    ).lower(t, s, seg).compile(compiler_options=COMPILER_OPTIONS)
+    ).lower(t, s, seg)
+    f = low.compile() if not opts else low.compile(compiler_options=opts)
     out = jax.block_until_ready(f(t, s, seg))
     r = timed(f, t, s, seg, iters=10, loops=5)
     print(
@@ -132,7 +140,7 @@ def main():
         "base": "davo-fast", "overrides": {}, "equality_checked": False,
         "out_absmax": float(np.abs(ref_out).max()),
         "attempts": attempts + 1,
-        "compiler_options": COMPILER_OPTIONS,
+        "compiler_options": {},
     }
     _save_results(res)
 
@@ -256,17 +264,20 @@ def main():
             res[tag] = {**prev, "status": "hung"}
             _save_results(res)
             continue
+        opts = COMPILER_OPTIONS if _needs_opts(over) else {}
         res[tag] = {
             "status": "started", "base": base, "overrides": over,
             "equality_checked": check_equal, "attempts": attempts + 1,
             # Provenance: the fused kernels only compile under the
             # scoped-vmem compiler option (R3_RESULTS); a promoted
             # winner must carry the options it was measured under.
-            "compiler_options": COMPILER_OPTIONS,
+            "compiler_options": opts,
         }
         _save_results(res)
         try:
-            out, ms = bench(tag, dataclasses.replace(bases[base], **over))
+            out, ms = bench(
+                tag, dataclasses.replace(bases[base], **over), opts
+            )
         except Exception as e:
             err = compile_error_summary(e)
             print(f"{tag} FAILED: {err}", flush=True)

@@ -31,7 +31,7 @@ from davo_tpu.utils.profiling import timed  # noqa: E402
 BATCHES = (1, 4, 16, 64, 128)
 
 
-def profile(tag, cfg):
+def profile(tag, cfg, opts=None):
     rng = np.random.default_rng(0)
     H, W = cfg.img_height, cfg.img_width
     model = DavoModel(cfg)
@@ -41,13 +41,20 @@ def profile(tag, cfg):
     params = jax.jit(model.init, static_argnames=("train",))(
         jax.random.key(0), t128, s128, train=False, seg=g128
     )
-    f = jax.jit(
+    jf = jax.jit(
         lambda a, b, c: model.apply(params, a, b, seg=c, train=False)[
             "poses"
         ]
     )
     for B in BATCHES:
         t, s, g = t128[:B], s128[:B], g128[:B]
+        # per-batch-shape compile; apply the winner's compiler options
+        # (the fused kernels need the scoped-vmem raise, R3_RESULTS)
+        f = (
+            jf.lower(t, s, g).compile(compiler_options=opts)
+            if opts
+            else jf
+        )
         jax.block_until_ready(f(t, s, g))
         r = timed(f, t, s, g, iters=20, loops=5)
         print(
@@ -78,6 +85,7 @@ def main():
             profile(
                 f"fused ({flags['probe']})",
                 apply_overrides(cfg, flags["overrides"]).model,
+                opts=flags.get("compiler_options") or None,
             )
         else:
             print("BENCH_FLAGS.json stale/unvalidated; skipped", flush=True)
