@@ -277,6 +277,38 @@ def cmd_infer(args) -> int:
     )
 
     cfg = _apply_sets(presets.get(args.version), args.set)
+    serving_opts = None
+    if getattr(args, "serving_flags", False):
+        # Hardware-validated fused-serving overrides (BENCH_FLAGS.json,
+        # written only by tools/dev/update_bench_flags.py after an
+        # on-chip equality + throughput win; gated on fingerprint).
+        from davo_tpu.config import apply_overrides
+        from davo_tpu.utils.serving_flags import load_validated_flags
+
+        flags = load_validated_flags()
+        if not flags:
+            print(
+                "infer: no validated BENCH_FLAGS for this code; "
+                "serving plain config",
+                file=sys.stderr,
+            )
+        else:
+            cfg = apply_overrides(cfg, flags["overrides"])
+            opts = flags.get("compiler_options")
+            if opts and jax.default_backend() == "tpu":
+                serving_opts = opts
+            elif opts:
+                print(
+                    "infer: promoted compiler options skipped (backend "
+                    f"is {jax.default_backend()!r}, options are "
+                    "TPU-only)",
+                    file=sys.stderr,
+                )
+            print(
+                f"infer: applying BENCH_FLAGS {flags['overrides']} "
+                f"compiler_options={serving_opts or {}}",
+                file=sys.stderr,
+            )
     frames, seg, gt_poses, _ = _load_sequence(
         args.data, args.seq, cfg, cfg.model.attention == "flow_seg"
     )
@@ -297,7 +329,8 @@ def cmd_infer(args) -> int:
             return 1
         state = restored
     apply_fn = make_pose_apply_fn(
-        model, state.params, cfg.model.attention
+        model, state.params, cfg.model.attention,
+        compiler_options=serving_opts,
     )
     rels = predict_sequence(
         apply_fn, frames, seg=seg, batch_size=args.batch_size
@@ -696,6 +729,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     i.add_argument("--batch-size", type=int, default=32)
     i.add_argument("--set", action="append")
+    i.add_argument(
+        "--serving-flags", action="store_true",
+        help="apply hardware-validated BENCH_FLAGS.json (fused-serving "
+        "overrides + compiler options; fingerprint-gated)",
+    )
     i.set_defaults(fn=cmd_infer)
 
     d = sub.add_parser("depth", help="depth-map inference")

@@ -118,8 +118,16 @@ def evaluate_sequence(
     }
 
 
-def make_pose_apply_fn(model, params, attention: str = "none") -> Callable:
-    """Jitted (targets, sources, seg) -> (B, 6) pose closure."""
+def make_pose_apply_fn(
+    model, params, attention: str = "none", compiler_options=None
+) -> Callable:
+    """Jitted (targets, sources, seg) -> (B, 6) pose closure.
+
+    compiler_options: optional per-computation PJRT options (e.g. the
+    scoped-vmem raise hardware-validated fused kernels need —
+    BENCH_FLAGS.json / R3_RESULTS.md), applied via AOT
+    lower().compile() and cached per input-shape signature.
+    """
 
     @jax.jit
     def fn(targets, sources, seg=None):
@@ -132,4 +140,21 @@ def make_pose_apply_fn(model, params, attention: str = "none") -> Callable:
         )
         return out["poses"][:, 0]
 
-    return fn
+    if not compiler_options:
+        return fn
+    opts = dict(compiler_options)
+    cache: dict = {}
+
+    def wrapped(targets, sources, seg=None):
+        key = (
+            tuple(targets.shape),
+            tuple(sources.shape),
+            None if seg is None else tuple(seg.shape),
+        )
+        if key not in cache:
+            cache[key] = fn.lower(targets, sources, seg).compile(
+                compiler_options=opts
+            )
+        return cache[key](targets, sources, seg)
+
+    return wrapped

@@ -163,6 +163,60 @@ def test_winner_compiler_options_ride_into_flags(tmp_path, monkeypatch):
     assert "compiler_options" not in json.load(open(mod.FLAGS))
 
 
+def test_load_validated_flags_gate(tmp_path):
+    """The package-side loader (CLI serving path) applies the same
+    validated_on + fingerprint gate as bench.py."""
+    from davo_tpu.utils.serving_flags import (
+        fingerprint,
+        load_validated_flags,
+    )
+
+    good = {
+        "validated_on": "tpu", "fingerprint": fingerprint(),
+        "overrides": {"model.flow_levels": 3},
+        "compiler_options": {"xla_tpu_scoped_vmem_limit_kib": "131072"},
+    }
+    p = tmp_path / "BENCH_FLAGS.json"
+    _write(p, good)
+    assert load_validated_flags(str(p))["overrides"] == good["overrides"]
+    _write(p, dict(good, fingerprint="stale"))
+    assert load_validated_flags(str(p)) == {}
+    _write(p, dict(good, validated_on="cpu"))
+    assert load_validated_flags(str(p)) == {}
+    assert load_validated_flags(str(tmp_path / "missing.json")) == {}
+
+
+def test_make_pose_apply_fn_compiler_options():
+    """compiler_options routes through AOT lower().compile() with a
+    per-shape cache and returns the same poses as the plain jit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from davo_tpu.eval.runner import make_pose_apply_fn
+
+    class Stub:
+        def apply(self, params, targets, sources, seg=None, train=False):
+            return {"poses": jnp.sum(
+                targets, axis=(1, 2, 3), keepdims=False
+            )[:, None, None] * jnp.ones((1, 1, 6))}
+
+    t = jnp.ones((2, 4, 4, 3))
+    s = jnp.ones((2, 4, 4, 3))
+    plain = make_pose_apply_fn(Stub(), {}, "none")
+    opted = make_pose_apply_fn(
+        Stub(), {}, "none",
+        compiler_options={"xla_cpu_enable_fast_math": False},
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain(t, s)), np.asarray(opted(t, s))
+    )
+    # second call hits the shape cache (no recompile crash)
+    np.testing.assert_allclose(
+        np.asarray(opted(t, s)), np.asarray(opted(t, s))
+    )
+
+
 def test_bench_applies_only_validated_matching_flags(monkeypatch):
     """bench.py's gate: overrides apply ONLY when validated_on=tpu AND
     the fingerprint matches the current kernel/model code."""

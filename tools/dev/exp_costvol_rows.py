@@ -44,9 +44,11 @@ B = 128
 # results in VMEM (the 16M-default OOM that killed every fused arm,
 # R3_RESULTS). Applied ONLY to arms that need it (fused/pallas):
 # baselines stay option-free so promotion compares candidates against
-# the true production program (first with-option run measured the
-# baseline ~9 % slower). Recorded per arm; promoted with the winner.
-COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+# the true production program (copts2 d/e measured the option tax at
+# -9.5 % on the same program). Recorded per arm; promoted with the
+# winner. 131072 KiB: the level-2 costvol's promotion footprint is
+# 112.68M, which fits v5e's 128M VMEM (copts2 arm f PASSes).
+COMPILER_OPTIONS = {"xla_tpu_scoped_vmem_limit_kib": "131072"}
 
 
 def _needs_opts(over: dict) -> bool:

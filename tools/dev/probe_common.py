@@ -9,7 +9,6 @@ BENCH_FLAGS.json.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import re
 
@@ -44,21 +43,15 @@ def compile_error_summary(exc: BaseException | str, limit: int = 1200) -> str:
 
 ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
-_FILES = (
-    "davo_tpu/kernels/rowconv.py",
-    "davo_tpu/kernels/costvol.py",
-    "davo_tpu/models/flownet.py",
-    "davo_tpu/models/attention.py",
-    "davo_tpu/models/posenet.py",
-    "davo_tpu/models/davo.py",
-    "davo_tpu/models/presets.py",
-    "davo_tpu/config.py",
+import sys  # noqa: E402
+
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+# Canonical definition lives in the package so the production CLI can
+# apply promoted flags under the same gate (davo_tpu/utils/
+# serving_flags.py); this module re-exports it for the dev harnesses.
+from davo_tpu.utils.serving_flags import (  # noqa: E402,F401
+    FINGERPRINT_FILES as _FILES,
+    fingerprint,
 )
-
-
-def fingerprint() -> str:
-    h = hashlib.sha256()
-    for rel in _FILES:
-        with open(os.path.join(ROOT, rel), "rb") as f:
-            h.update(f.read())
-    return h.hexdigest()[:16]
