@@ -24,6 +24,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
+from probe_common import compile_error_summary  # noqa: E402
+
 from davo_tpu.config import Config, ModelConfig, TrainConfig
 from davo_tpu.train.loop import create_state, make_train_step
 
@@ -150,7 +152,7 @@ def main():
             {**fast, "fuse_estimator_train": True}, 16,
         )
     except Exception as e:
-        print(f"fuse_estimator_train FAILED: {str(e)[:300]}", flush=True)
+        print(f"fuse_estimator_train FAILED: {compile_error_summary(e)}", flush=True)
     # Whole-flow-level training fusion (costvol bwd included).
     try:
         bench(
@@ -162,7 +164,7 @@ def main():
             {**fast, "fuse_flow_level_train": True}, 16,
         )
     except Exception as e:
-        print(f"fuse_flow_level_train FAILED: {str(e)[:300]}", flush=True)
+        print(f"fuse_flow_level_train FAILED: {compile_error_summary(e)}", flush=True)
     # Everything-fused training: flow levels + pyramid + pose encoder
     # + attention, all via hand-written VJPs.
     all_train = dict(
@@ -176,7 +178,7 @@ def main():
             {**fast, **all_train}, 16,
         )
     except Exception as e:
-        print(f"all-fused train FAILED: {str(e)[:300]}", flush=True)
+        print(f"all-fused train FAILED: {compile_error_summary(e)}", flush=True)
     # remat headroom: find the largest batch that fits each way.
     for batch in (64, 128):
         for remat in (False, True):
