@@ -322,6 +322,22 @@ class TestFlowLevelVJP:
             np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
         )
 
+    def test_serving_bf16_dot_mode(self, rng):
+        """flow_level_fused (serving) under bf16_dot stays within
+        bf16-class error of the f32 XLA composite."""
+        from davo_tpu.kernels.rowconv import flow_level_fused
+
+        f1, f2, feat, flow_up, ws, bs = self._setup(rng)
+        relus = (True, True, False)
+        got = flow_level_fused(
+            f1, f2, feat, flow_up, ws, bs, self.SEARCH, relus,
+            compute_dtype_name="bf16_dot",
+        )
+        want = self._xla_level(f1, f2, feat, flow_up, ws, bs, relus)
+        ref = np.asarray(want)
+        err = np.abs(np.asarray(got) - ref).max()
+        assert err / (np.abs(ref).max() + 1e-6) < 2e-2, err
+
     def test_grads_match_xla(self, rng):
         from davo_tpu.kernels.rowconv import flow_level_fused_ad
 
