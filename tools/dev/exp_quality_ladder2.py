@@ -1,0 +1,151 @@
+"""Absolute-quality ladder, stage 2 (r3).
+
+Stage 1 (exp_quality_ladder.py) measured a HARD FLOOR: t_err ~38 %
+and ate_full ~97 m on the 1,300-frame eval world for every arm —
+rot_weight 10/100/1000, 2x capacity, (6k steps pending) all within
+1 % of each other. When no optimization axis moves the number, the
+floor is informational or distributional, not optimization:
+
+  res128   input resolution: the tiny preset's 48x64 frames see
+           ~1.5 px inter-frame flow (speed 0.8 at plane_z 30) —
+           near the sub-pixel limit. Train davo-small (128x416,
+           flow_levels=3) on 128x416 worlds. bs 8 to fit the step.
+  worlds64 train-data diversity: 64 worlds instead of 16 at tiny
+           res (generalization-floor hypothesis).
+  both     res128 + 48 worlds (compute-bounded combination).
+
+Resumable per arm (JSON skip-if-done), same eval protocol as stage 1.
+
+Usage: tools/dev/tpu_run.sh "tools/dev/exp_quality_ladder2.py [OUT]" 10800 2
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+from davo_tpu.config import Config, TrainConfig
+from davo_tpu.data.snippets import MultiSourceDataset
+from davo_tpu.data.synthetic import SyntheticSequence
+from davo_tpu.eval.runner import (
+    assemble_trajectory,
+    evaluate_sequence,
+    make_pose_apply_fn,
+    predict_sequence,
+)
+from davo_tpu.models import presets
+
+OUT = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else "/root/repo/results_r3_quality2.json"
+)
+EVAL_FRAMES = 1300
+
+
+def world_kw(H, W):
+    return dict(
+        height=H, width=W, plane_z=30.0, forward_speed=0.8,
+        trajectory="loop", loop_roll=True, texture_mode="procedural",
+    )
+
+
+def run_arm(preset, n_worlds, steps, batch):
+    base = presets.get(preset)
+    H, W = base.model.img_height, base.model.img_width
+    kw = world_kw(H, W)
+    train_worlds = [
+        SyntheticSequence(
+            n_frames=24, seed=s,
+            loop_radius=(30.0, 60.0, 100.0, 160.0)[s % 4], **kw,
+        )
+        for s in range(1, n_worlds + 1)
+    ]
+    eval_seq = SyntheticSequence(n_frames=EVAL_FRAMES, seed=99, **kw)
+    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
+    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
+
+    cfg = Config(
+        model=base.model,
+        train=TrainConfig(
+            batch_size=batch, learning_rate=4e-3, lr_schedule="cosine",
+            max_steps=steps, pose_supervision_weight=100.0,
+            rot_weight=10.0, smooth_weight=0.1,
+            photo_masking="border", depth_warmup_steps=250,
+            log_every=max(steps // 8, 1),
+        ),
+    )
+    ds = MultiSourceDataset(
+        train_worlds, batch_size=batch, with_seg=True, with_gt=True,
+        augment="color", seed=0,
+    )
+    from davo_tpu.train.loop import fit
+
+    t0 = time.time()
+    model, state, _ = fit(
+        cfg, ds.batches(steps=steps),
+        log_fn=lambda s, m: print(
+            f"  step {s}: total={m.get('total', float('nan')):.4f} "
+            f"pose_sup={m.get('pose_sup', float('nan')):.5f}",
+            flush=True,
+        ),
+    )
+    apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
+    rels = predict_sequence(
+        apply_fn, frames, seg=segs,
+        batch_size=32 if H >= 128 else 64,
+    )
+    pred = assemble_trajectory(rels)
+    ev = evaluate_sequence(pred, eval_seq.poses)
+    ev["train_s"] = time.time() - t0
+    return ev
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    if jax.devices()[0].platform != "tpu":
+        print("REFUSING: not on TPU (training-dynamics conclusions "
+              "require chip runs — CLAUDE.md)", flush=True)
+        sys.exit(2)
+    res = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            res = json.load(f)
+
+    def arm(name, fn):
+        if name in res:
+            print(f"{name}: done previously "
+                  f"(t_err {res[name]['t_err_pct']:.2f})", flush=True)
+            return
+        print(f"=== arm {name} ===", flush=True)
+        res[name] = fn()
+        with open(OUT + ".tmp", "w") as f:
+            json.dump(res, f, indent=1, default=float)
+            f.write("\n")
+        os.replace(OUT + ".tmp", OUT)
+        e = res[name]
+        print(
+            f"{name}: t_err {e['t_err_pct']:.2f} %  "
+            f"r_err {e['r_err_deg_per_100m']:.2f}  "
+            f"snippet {e['snippet_ate_mean']:.3f}  "
+            f"ate_full {e['ate_full']:.1f}  ({e['train_s']:.0f}s)",
+            flush=True,
+        )
+
+    arm("worlds64", lambda: run_arm("tiny", 64, 2500, 16))
+    arm("res128", lambda: run_arm("davo-small", 16, 2500, 8))
+    arm("both", lambda: run_arm("davo-small", 48, 2500, 8))
+    print("ladder2 ->", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()
