@@ -107,6 +107,32 @@ def run_arm(preset, n_worlds, steps, batch):
     pred = assemble_trajectory(rels)
     ev = evaluate_sequence(pred, eval_seq.poses)
     ev["train_s"] = time.time() - t0
+
+    # Error decomposition for the stage-1 38 % floor: per-frame
+    # relative translations, predicted vs GT — is the floor a scale
+    # miscalibration (ratio != 1), noise (low corr), or a direction
+    # bias (angle)?
+    gt = np.asarray(eval_seq.poses)
+    gt_rel_t = np.stack([
+        (np.linalg.inv(gt[i]) @ gt[i + 1])[:3, 3]
+        for i in range(len(gt) - 1)
+    ])
+    pr_t = np.asarray(rels)[:, :3, 3]
+    gn = np.linalg.norm(gt_rel_t, axis=1)
+    pn = np.linalg.norm(pr_t, axis=1)
+    cos = np.sum(gt_rel_t * pr_t, axis=1) / (gn * pn + 1e-9)
+    ev["diag_norm_ratio_mean"] = float(np.mean(pn / (gn + 1e-9)))
+    ev["diag_norm_ratio_std"] = float(np.std(pn / (gn + 1e-9)))
+    ev["diag_norm_corr"] = float(np.corrcoef(pn, gn)[0, 1])
+    ev["diag_dir_cos_mean"] = float(np.mean(cos))
+    ev["diag_dir_cos_p10"] = float(np.percentile(cos, 10))
+    print(
+        f"  diag: |t| ratio {ev['diag_norm_ratio_mean']:.3f}"
+        f"±{ev['diag_norm_ratio_std']:.3f} corr "
+        f"{ev['diag_norm_corr']:.3f} dir-cos {ev['diag_dir_cos_mean']:.3f}"
+        f" (p10 {ev['diag_dir_cos_p10']:.3f})",
+        flush=True,
+    )
     return ev
 
 
@@ -141,6 +167,9 @@ def main():
             flush=True,
         )
 
+    # anchor re-runs the stage-1 base recipe purely for the error
+    # decomposition diagnostics (scale vs noise vs direction).
+    arm("anchor", lambda: run_arm("tiny", 16, 2500, 16))
     arm("worlds64", lambda: run_arm("tiny", 64, 2500, 16))
     arm("res128", lambda: run_arm("davo-small", 16, 2500, 8))
     arm("both", lambda: run_arm("davo-small", 48, 2500, 8))
