@@ -126,11 +126,32 @@ def run_arm(preset, n_worlds, steps, batch):
     ev["diag_norm_corr"] = float(np.corrcoef(pn, gn)[0, 1])
     ev["diag_dir_cos_mean"] = float(np.mean(cos))
     ev["diag_dir_cos_p10"] = float(np.percentile(cos, 10))
+
+    # Rotation: the supervised-tier scale-alignment factor 0.159 (r2/
+    # r3 e2e) says the integrated trajectory is ~6x too LARGE — the
+    # spiral signature of systematic per-frame rotation
+    # UNDER-prediction (GT yaw ~0.28 deg/frame at this loop radius,
+    # r_err ~0.26 deg/frame: error ~ signal). Measure it directly.
+    def rot_angle(m):
+        tr = np.trace(m[:3, :3])
+        return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1.0, 1.0)))
+
+    gt_ang = np.array([
+        rot_angle(np.linalg.inv(gt[i]) @ gt[i + 1])
+        for i in range(len(gt) - 1)
+    ])
+    pr_ang = np.array([rot_angle(np.asarray(r)) for r in rels])
+    ev["diag_rot_ratio_mean"] = float(
+        np.mean(pr_ang / (gt_ang + 1e-9))
+    )
+    ev["diag_rot_corr"] = float(np.corrcoef(pr_ang, gt_ang)[0, 1])
     print(
         f"  diag: |t| ratio {ev['diag_norm_ratio_mean']:.3f}"
         f"±{ev['diag_norm_ratio_std']:.3f} corr "
         f"{ev['diag_norm_corr']:.3f} dir-cos {ev['diag_dir_cos_mean']:.3f}"
-        f" (p10 {ev['diag_dir_cos_p10']:.3f})",
+        f" (p10 {ev['diag_dir_cos_p10']:.3f}) rot-ratio "
+        f"{ev['diag_rot_ratio_mean']:.3f} rot-corr "
+        f"{ev['diag_rot_corr']:.3f}",
         flush=True,
     )
     return ev
