@@ -59,8 +59,12 @@ def world_kw(H, W):
     )
 
 
-def run_arm(preset, n_worlds, steps, batch):
+def run_arm(preset, n_worlds, steps, batch, model_overrides=None):
     base = presets.get(preset)
+    if model_overrides:
+        base = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, **model_overrides)
+        )
     H, W = base.model.img_height, base.model.img_width
     kw = world_kw(H, W)
     train_worlds = [
@@ -191,8 +195,15 @@ def main():
     # anchor re-runs the stage-1 base recipe purely for the error
     # decomposition diagnostics (scale vs noise vs direction).
     arm("anchor", lambda: run_arm("tiny", 16, 2500, 16))
-    arm("worlds64", lambda: run_arm("tiny", 64, 2500, 16))
     arm("res128", lambda: run_arm("davo-small", 16, 2500, 8))
+    # The flow_levels 4->3 quality gate at FULL res (the tiny-preset
+    # ablation arm is a no-op: tiny already has 3 levels). If L3 >= L4
+    # here, the davo-fast headline flip to flow_levels=3 is justified.
+    arm(
+        "res128_L4",
+        lambda: run_arm("davo-small", 16, 2500, 8, {"flow_levels": 4}),
+    )
+    arm("worlds64", lambda: run_arm("tiny", 64, 2500, 16))
     arm("both", lambda: run_arm("davo-small", 48, 2500, 8))
     print("ladder2 ->", OUT, flush=True)
 
