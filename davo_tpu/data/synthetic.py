@@ -76,6 +76,7 @@ class SyntheticSequence:
         loop_radius: float | None = None,
         loop_roll: bool = False,
         dynamic_along_path: bool = False,
+        n_static: int = 0,
     ):
         self.n_frames = n_frames
         self.height = height
@@ -276,6 +277,62 @@ class SyntheticSequence:
                 self.objects.append(
                     dict(z=z, w=w_obj, h=h_obj, center=center, vel=vel,
                          label=label, tex=otex)
+                )
+
+        # STATIC depth structure (r3): fixed textured billboards at
+        # varying depths between the camera path and the background
+        # plane. A single-plane world makes yaw visually near-
+        # unidentifiable (planar rotation/translation ambiguity at
+        # narrow FOV) — the r3 ladder measured the pose net regressing
+        # the dataset's rotation PRIOR (pred/GT rotation correlation
+        # -0.02 at any resolution/capacity/steps). Parallax between
+        # depth layers is what makes rotation observable. Anchored to
+        # random frames' frusta (coverage persists over long loops);
+        # labels stay in the static range so attention treats them as
+        # scene, not movers. Drawn AFTER every existing draw so
+        # n_static=0 sequences remain bit-identical.
+        if n_static:
+            for _ in range(n_static):
+                f = int(rng.integers(0, n_frames))
+                Cf = self.poses[f]
+                o = Cf[:3, 3]
+                axis = Cf[:3, :3] @ np.array([0.0, 0.0, 1.0])
+                dist = max(
+                    rng.uniform(0.25, 0.8) * (plane_z - o[2]), 1.0
+                )
+                z_obj = o[2] + dist
+                look = o[:2] + (dist / max(axis[2], 1e-6)) * axis[:2]
+                half_w = dist * (width / 2) / self.K[0, 0]
+                half_h = dist * (height / 2) / self.K[1, 1]
+                center = look + np.array(
+                    [
+                        rng.uniform(-0.7, 0.7) * half_w,
+                        rng.uniform(-0.7, 0.7) * half_h,
+                    ]
+                )
+                w_obj = rng.uniform(0.15, 0.35) * dist
+                h_obj = rng.uniform(0.5, 1.2) * w_obj
+                # Always below DYNAMIC_LABEL_START: the "seg >= start
+                # <=> mover" invariant must hold with movers present.
+                label = int(rng.integers(0, DYNAMIC_LABEL_START))
+                otex = np.zeros((64, 64, 3), np.float32)
+                for octave, sigma in ((1.0, 8.0), (0.6, 3.0)):
+                    layer = rng.uniform(0, 1, (64, 64, 3)).astype(
+                        np.float32
+                    )
+                    for c in range(3):
+                        layer[..., c] = gaussian_filter(
+                            layer[..., c], sigma
+                        )
+                    layer -= layer.min()
+                    layer /= layer.max() + 1e-6
+                    otex += octave * layer
+                otex /= otex.max()
+                self.objects.append(
+                    dict(
+                        z=z_obj, w=w_obj, h=h_obj, center=center,
+                        vel=np.zeros(2), label=label, tex=otex,
+                    )
                 )
 
     # ------------------------------------------------------------------
