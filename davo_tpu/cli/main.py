@@ -664,6 +664,10 @@ def cmd_prep(args) -> int:
     from davo_tpu.data import prep as dprep
 
     if args.dataset is not None:
+        if not args.root:  # usage error, not an opaque traceback (ADVICE r3)
+            print("--dataset needs --root <raw dataset dir>",
+                  file=sys.stderr)
+            return 2
         fn = {
             "kitti_odom": dprep.prepare_kitti_odometry,
             "kitti_raw": dprep.prepare_kitti_raw,

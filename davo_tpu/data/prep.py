@@ -345,7 +345,12 @@ def annotate_prepared_seg(
         chunk = todo[start : start + batch_size]
         imgs = []
         for n in chunk:
-            img = cv2.imread(os.path.join(data_dir, n + ".jpg"))
+            path = os.path.join(data_dir, n + ".jpg")
+            img = cv2.imread(path)
+            if img is None:  # missing/corrupt snippet jpg (ADVICE r3)
+                raise FileNotFoundError(
+                    f"annotate_prepared_seg: unreadable snippet {path}"
+                )
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             w = img.shape[1] // 3
             imgs.append(img[:, w : 2 * w].astype(np.float32) / 255.0)

@@ -146,10 +146,12 @@ def make_pose_apply_fn(
     cache: dict = {}
 
     def wrapped(targets, sources, seg=None):
+        # Key on shape AND dtype: a same-shape different-dtype call
+        # must recompile, not hit a stale executable (ADVICE r3).
         key = (
-            tuple(targets.shape),
-            tuple(sources.shape),
-            None if seg is None else tuple(seg.shape),
+            (tuple(targets.shape), str(targets.dtype)),
+            (tuple(sources.shape), str(sources.dtype)),
+            None if seg is None else (tuple(seg.shape), str(seg.dtype)),
         )
         if key not in cache:
             cache[key] = fn.lower(targets, sources, seg).compile(
