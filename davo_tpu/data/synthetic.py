@@ -77,6 +77,10 @@ class SyntheticSequence:
         loop_roll: bool = False,
         dynamic_along_path: bool = False,
         n_static: int = 0,
+        rot_amp: float = 0.03,
+        rot_period: float = 40.0,
+        tilt_amp: float = 0.0,
+        tilt_period: float = 25.0,
     ):
         self.n_frames = n_frames
         self.height = height
@@ -165,6 +169,72 @@ class SyntheticSequence:
                     ]
                 )
                 poses.append(poses[-1] @ _se3_exp_np(xi))
+        elif trajectory == "wander":
+            # Varying-curvature planar path with tangent-tracking roll
+            # (+ optional yaw/pitch look-around). The r3 quality ladders
+            # proved the "loop" worlds cannot measure rotation learning:
+            # their yaw rate is CONSTANT within a world, so a net that
+            # regresses the dataset's rotation prior scores the same
+            # rot-corr (~0) as one that reads rotation from the images
+            # (results_r3_quality3.json; VERDICT r3 missing #1). Here
+            # the per-frame rotation VARIES within the world — heading
+            # rate omega(t) is a random 3-sinusoid signal of amplitude
+            # `rot_amp` rad/frame and period ~`rot_period` frames — so
+            # pred-vs-GT per-frame rotation correlation is a falsifiable
+            # diagnostic. `tilt_amp` adds sinusoidal yaw/pitch of the
+            # view axis away from plane-facing (bounded, keeps the
+            # plane in frame), exercising all three rotation axes.
+            comps = []
+            for frac in (1.0, 0.53, 0.31):
+                period = rot_period * frac * rng.uniform(0.8, 1.2)
+                comps.append(
+                    (2 * np.pi / period, rng.uniform(0, 2 * np.pi),
+                     frac)
+                )
+            t_arr = np.arange(n_frames)
+            omega = sum(
+                a / sum(c[2] for c in comps) * rot_amp
+                * np.sin(w * t_arr + ph)
+                for (w, ph, a) in comps
+            )
+            heading = np.cumsum(omega) - omega[0]
+            yaw_t = pitch_t = np.zeros(n_frames)
+            if tilt_amp:
+                yaw_t = tilt_amp * np.sin(
+                    2 * np.pi * t_arr / (tilt_period * rng.uniform(0.8, 1.2))
+                    + rng.uniform(0, 2 * np.pi)
+                )
+                pitch_t = tilt_amp * np.sin(
+                    2 * np.pi * t_arr / (tilt_period * rng.uniform(0.6, 1.0))
+                    + rng.uniform(0, 2 * np.pi)
+                )
+            poses = []
+            p = np.zeros(2)
+            for t in range(n_frames):
+                T = np.eye(4)
+                c, s = np.cos(heading[t]), np.sin(heading[t])
+                roll = np.array(
+                    [[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]]
+                )
+                cy, sy = np.cos(yaw_t[t]), np.sin(yaw_t[t])
+                yaw = np.array(
+                    [[cy, 0.0, sy], [0.0, 1.0, 0.0], [-sy, 0.0, cy]]
+                )
+                cp, sp = np.cos(pitch_t[t]), np.sin(pitch_t[t])
+                pitch = np.array(
+                    [[1.0, 0.0, 0.0], [0.0, cp, -sp], [0.0, sp, cp]]
+                )
+                T[:3, :3] = roll @ yaw @ pitch
+                T[:2, 3] = p
+                poses.append(T)
+                p = p + forward_speed * np.array(
+                    [np.cos(heading[t]), np.sin(heading[t])]
+                )
+            for t in range(1, n_frames):
+                xi = np.concatenate(
+                    [rng.normal(0, jitter, 3), rng.normal(0, rot_jitter, 3)]
+                )
+                poses[t] = poses[t] @ _se3_exp_np(xi)
         else:
             # "loop": a circle in the x-y plane parallel to the textured
             # plane (camera keeps facing it), arc step = forward_speed.

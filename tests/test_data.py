@@ -401,6 +401,98 @@ def _se3_like(xi):
     return _se3_exp_np(xi)
 
 
+class TestWanderWorld:
+    """Rotation-identifiable world class (r4): within-world VARYING
+    rotation across all three axes. The r3 "loop" worlds have a
+    constant within-world yaw rate, so a net regressing the dataset's
+    rotation prior is indistinguishable from one reading rotation from
+    the images (results_r3_quality3.json diag_rot_corr ~ 0 in every
+    arm including supervised). On wander worlds pred-vs-GT per-frame
+    rotation correlation is a falsifiable diagnostic
+    (tools/dev/exp_rot_convention.py: supervised overfit reaches
+    corr_rx 0.96 — no convention bug)."""
+
+    @pytest.fixture(scope="class")
+    def wander(self):
+        return SyntheticSequence(
+            n_frames=60, height=48, width=64, seed=3, plane_z=30.0,
+            forward_speed=0.8, trajectory="wander",
+            texture_mode="procedural", n_static=4, rot_amp=0.10,
+            tilt_amp=0.12, rot_period=20.0, tilt_period=12.0,
+        )
+
+    def test_rotation_varies_within_world(self, wander):
+        """The defining property: per-frame rotation angle must VARY
+        (std comparable to mean), on every axis."""
+        rels = np.stack([wander.gt_rel(i) for i in range(59)])
+        angs = np.degrees(
+            np.arccos(
+                np.clip(
+                    (np.trace(rels[:, :3, :3], axis1=1, axis2=2) - 1) / 2,
+                    -1, 1,
+                )
+            )
+        )
+        assert angs.std() > 0.25 * angs.mean(), (angs.mean(), angs.std())
+        assert angs.max() > 2.0  # degrees: visibly large rotations
+        # per-axis variation (so all three correlation diagnostics
+        # carry signal, not just roll)
+        from scipy.spatial.transform import Rotation
+
+        eul = Rotation.from_matrix(rels[:, :3, :3]).as_euler(
+            "xyz", degrees=True
+        )
+        assert (eul.std(0) > 0.5).all(), eul.std(0)
+
+    def test_warp_consistent(self, wander):
+        t, s = 30, 29
+        tgt = jnp.asarray(wander.frame(t))[None]
+        src = jnp.asarray(wander.frame(s))[None]
+        depth = jnp.asarray(wander.depth(t))[None]
+        pose = jnp.asarray(wander.warp_pose(t, s), jnp.float32)[None]
+        K = jnp.asarray(wander.K, jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        v = np.asarray(valid).reshape(1, 48, 64)
+        err = (np.abs(np.asarray(recon - tgt)).mean(-1) * v).sum() / v.sum()
+        assert err < 0.03, err
+
+    def test_travel_and_segments_finite(self):
+        from davo_tpu.eval.metrics import kitti_seg_errors, trajectory_distances
+
+        w = SyntheticSequence(
+            n_frames=1300, height=8, width=8, seed=5,
+            trajectory="wander", texture_mode="procedural",
+            rot_amp=0.06, rot_period=30.0, tilt_amp=0.05,
+        )
+        dist = trajectory_distances(w.poses)
+        assert dist[-1] > 0.7 * 1300 * 0.8
+        rng = np.random.default_rng(0)
+        pred = w.poses.copy()
+        drift = np.eye(4)
+        for i in range(1, len(pred)):
+            step = np.linalg.inv(w.poses[i - 1]) @ w.poses[i]
+            drift = drift @ step @ _se3_like(
+                np.concatenate(
+                    [rng.normal(0, 0.01, 3), rng.normal(0, 0.0005, 3)]
+                )
+            )
+            pred[i] = drift
+        res = kitti_seg_errors(w.poses, pred)
+        assert np.isfinite(res["t_err_pct"])
+        assert len({s[1] for s in res["segments"]}) == 8
+
+    def test_deterministic_and_distinct_across_seeds(self):
+        kw = dict(
+            n_frames=12, height=16, width=16, trajectory="wander",
+            texture_mode="procedural", rot_amp=0.08,
+        )
+        a = SyntheticSequence(seed=1, **kw)
+        b = SyntheticSequence(seed=1, **kw)
+        c = SyntheticSequence(seed=2, **kw)
+        np.testing.assert_array_equal(a.poses, b.poses)
+        assert not np.allclose(a.poses, c.poses)
+
+
 class TestSnippets:
     def test_indices(self):
         assert snippet_indices(6, 3) == [1, 2, 3, 4]
