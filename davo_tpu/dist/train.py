@@ -39,7 +39,13 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
     """
 
     def forward(params, target, sources, seg):
-        return model.apply(params, target, sources, seg=seg, train=True)
+        # source_disp must mirror train/loop.py: without it the geo-
+        # consistency term silently drops from the sharded loss (no
+        # "disp_src" in outputs) and sharded != single-device.
+        return model.apply(
+            params, target, sources, seg=seg, train=True,
+            source_disp=cfg.train.geo_consistency_weight > 0.0,
+        )
 
     if cfg.train.remat:
         # Same HBM/FLOP trade as the single-device step (train/loop.py):
