@@ -288,6 +288,7 @@ def flow_losses(
     sources: jnp.ndarray,
     ssim_weight: float,
     masking: str = "border",
+    res_mode: str = "full",
 ) -> jnp.ndarray:
     """Unsupervised photometric loss for the flow net, per level.
 
@@ -295,8 +296,46 @@ def flow_losses(
     target pixels to source pixels, so warping the source by the flow
     must reconstruct the target. Same out-of-frame policy as
     `photometric_loss` (empty-mask degeneracy applies equally here).
+
+    res_mode: where each level's photometric term is evaluated.
+      "full"  — upsample every level's flow to input resolution and
+                warp the FULL-RES source (the r1-r3 behavior).
+      "level" — warp an avg-pooled source pyramid at each level's own
+                resolution (the PWC-family convention). Flow values
+                are already in level-pixel units, so no upsample or
+                rescale is needed. This exists for PERFORMANCE: the
+                full-res bilinear gather warp is the train step's
+                dominant cost — measured 124 ms per full-res warp at
+                B=64 128x416 vs ~83 ms for the ENTIRE net fwd+bwd+Adam
+                (results_r4_train_prof3.json: flow_losses = 742 of
+                1,170 ms/step, 2 sources x 3 levels of full-res
+                warps). "level" cuts that term ~16-64x per level.
     """
     H, W = target.shape[1], target.shape[2]
+    if res_mode == "level":
+        # /2 avg-pool chains deep enough to reach the coarsest flow
+        # level (PWC levels live at /4, /8, ... of input res).
+        min_h = min(
+            min(f.shape[1] for f in pyr) for pyr in flow_pyrs
+        )
+        depth, h_ = 1, H
+        while h_ > min_h:
+            h_ = (h_ + 1) // 2
+            depth += 1
+        tgt_pyr = image_pyramid(target, depth)
+        src_pyrs_lv = [
+            image_pyramid(sources[:, s], depth)
+            for s in range(sources.shape[1])
+        ]
+
+        def at_res(pyr, h, w):
+            for im in pyr:
+                if im.shape[1] == h and im.shape[2] == w:
+                    return im
+            raise ValueError(
+                f"no pyramid level at {h}x{w}; have "
+                f"{[tuple(i.shape[1:3]) for i in pyr]}"
+            )
     # Only the explicit "valid" ablation uses the masked mean; automin
     # takes the border-clamped path like "border" — mapping it to the
     # zero-filled masked mean would hand the flow net the empty-mask
@@ -308,10 +347,18 @@ def flow_losses(
     for s_i, pyr in enumerate(flow_pyrs):
         src = sources[:, s_i]
         for flow in pyr:
-            flow_full = FlowNetLite.full_res_flow(flow, H, W)
-            warped, valid = flow_warp(src, flow_full, fill=fill)
-            l1 = jnp.abs(warped - target)[:, 1:-1, 1:-1]
-            sm = ssim(warped, target)
+            if res_mode == "level":
+                h, w = flow.shape[1], flow.shape[2]
+                tgt_l = at_res(tgt_pyr, h, w)
+                src_l = at_res(src_pyrs_lv[s_i], h, w)
+                warped, valid = flow_warp(src_l, flow, fill=fill)
+                tgt_cmp = tgt_l
+            else:
+                flow_full = FlowNetLite.full_res_flow(flow, H, W)
+                warped, valid = flow_warp(src, flow_full, fill=fill)
+                tgt_cmp = target
+            l1 = jnp.abs(warped - tgt_cmp)[:, 1:-1, 1:-1]
+            sm = ssim(warped, tgt_cmp)
             mixed = ssim_weight * sm + (1.0 - ssim_weight) * l1
             if masking == "valid":
                 vc = valid[:, 1:-1, 1:-1]
@@ -367,7 +414,7 @@ def total_loss(
     if "flows" in outputs:
         fl = flow_losses(
             outputs["flows"], target, sources, tcfg.ssim_weight,
-            masking=tcfg.photo_masking,
+            masking=tcfg.photo_masking, res_mode=tcfg.flow_loss_res,
         )
         loss = loss + fl
         metrics["flow"] = fl
