@@ -1,0 +1,211 @@
+"""Absolute-quality ladder, stage 4 (r4): the rotation-identifiable
+world class.
+
+r3 closed with t_err pinned at ~37-38 % on "loop" eval worlds and
+pred/GT rotation correlation ~0 in every arm. Root cause (VERDICT r3
+missing #1 + exp_rot_convention): the loop worlds' within-world
+rotation rate is CONSTANT, so (a) the net can only regress the
+dataset's rotation prior and (b) the corr diagnostic measures nothing
+but sub-pixel jitter. The convention micro-test on a "wander" world
+settles whether the stack can learn rotation at all; this ladder
+RE-ANCHORS the absolute-quality ratchet on wander worlds (within-world
+varying rotation across all three axes + multi-depth static structure)
+— the world class where both t_err and diag_rot_corr are falsifiable.
+
+Arms (supervised tier, 1,300-frame eval world, ~1,040 m):
+
+  wander_tiny    tiny preset (48x64), 16 train worlds, 2500 steps
+  wander_res128  davo-small (128x416), 16 worlds, 2500 steps, B=8
+  wander_long    tiny, 6000 steps (convergence check)
+
+Gate (BASELINE.md ratchet): r4 target t_err <= 12 % — with the r3
+target (<= 20 %) as the must-pass bar now that rotation is measurable;
+diag_rot_corr > 0.9 required for the arm to count.
+
+Usage: tools/dev/tpu_run.sh "tools/dev/exp_quality_ladder4.py [OUT]" 12000 8
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+from davo_tpu.config import Config, TrainConfig
+from davo_tpu.data.snippets import MultiSourceDataset
+from davo_tpu.data.synthetic import SyntheticSequence
+from davo_tpu.eval.runner import (
+    assemble_trajectory,
+    evaluate_sequence,
+    make_pose_apply_fn,
+    predict_sequence,
+)
+from davo_tpu.models import presets
+
+OUT = (
+    sys.argv[1]
+    if len(sys.argv) > 1
+    else "/root/repo/results_r4_quality.json"
+)
+EVAL_FRAMES = 1300
+
+# The wander world class (shared by train and eval; this is the r4+
+# quality world — numbers are NOT comparable to the r2/r3 loop-world
+# anchors). rot_amp 0.06 rad/frame (~3.4 deg peak heading rate) +
+# tilt 0.05 rad look-around: corner displacement ~2.4 px at 48x64 and
+# ~15 px at 128x416 — above the sub-pixel floor that made loop-world
+# rotation invisible at tiny res.
+WANDER_KW = dict(
+    plane_z=30.0, forward_speed=0.8, trajectory="wander",
+    texture_mode="procedural", n_static=8, rot_amp=0.06,
+    rot_period=30.0, tilt_amp=0.05, tilt_period=20.0,
+)
+
+
+def mat_to_euler_np(R):
+    sy = np.clip(-R[..., 2, 0], -1 + 1e-7, 1 - 1e-7)
+    ry = np.arcsin(sy)
+    rx = np.arctan2(R[..., 2, 1], R[..., 2, 2])
+    rz = np.arctan2(R[..., 1, 0], R[..., 0, 0])
+    return np.stack([rx, ry, rz], -1)
+
+
+def rot_angle(m):
+    tr = np.trace(m[..., :3, :3])
+    return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1.0, 1.0)))
+
+
+def run_arm(preset, steps=2500, batch=16, n_worlds=16, geo=None,
+            flow_res=None):
+    base = presets.get(preset)
+    H, W = base.model.img_height, base.model.img_width
+    train_worlds = [
+        SyntheticSequence(n_frames=24, height=H, width=W, seed=s,
+                          **WANDER_KW)
+        for s in range(1, n_worlds + 1)
+    ]
+    eval_seq = SyntheticSequence(
+        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **WANDER_KW
+    )
+    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
+    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
+    gt = np.asarray(eval_seq.poses)
+
+    tkw = dict(
+        batch_size=batch, learning_rate=4e-3, lr_schedule="cosine",
+        max_steps=steps, pose_supervision_weight=100.0,
+        rot_weight=10.0, smooth_weight=0.1,
+        photo_masking="border", depth_warmup_steps=250,
+        log_every=max(steps // 8, 1),
+    )
+    if geo is not None:  # None = the (r4-flipped) config default 0.5
+        tkw["geo_consistency_weight"] = geo
+    if flow_res is not None:
+        tkw["flow_loss_res"] = flow_res
+    cfg = Config(model=base.model, train=TrainConfig(**tkw))
+    ds = MultiSourceDataset(
+        train_worlds, batch_size=batch, with_seg=True, with_gt=True,
+        augment="color", seed=0,
+    )
+    from davo_tpu.train.loop import fit
+
+    t0 = time.time()
+    model, state, _ = fit(
+        cfg, ds.batches(steps=steps),
+        log_fn=lambda s, m: print(
+            f"  step {s}: total={m.get('total', float('nan')):.4f} "
+            f"pose_sup={m.get('pose_sup', float('nan')):.5f}",
+            flush=True,
+        ),
+    )
+    apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
+    rels = np.asarray(
+        predict_sequence(apply_fn, frames, seg=segs, batch_size=64)
+    )
+    pred = assemble_trajectory(rels)
+    ev = evaluate_sequence(pred, gt)
+    ev["train_s"] = time.time() - t0
+
+    gt_rels = np.stack(
+        [np.linalg.inv(gt[i]) @ gt[i + 1] for i in range(len(gt) - 1)]
+    )
+    pred_eul = mat_to_euler_np(rels[:, :3, :3])
+    gt_eul = mat_to_euler_np(gt_rels[:, :3, :3])
+    for k, name in enumerate(("rx", "ry", "rz")):
+        ev[f"diag_corr_{name}"] = float(
+            np.corrcoef(pred_eul[:, k], gt_eul[:, k])[0, 1]
+        )
+    pr_ang, gt_ang = rot_angle(rels), rot_angle(gt_rels)
+    ev["diag_rot_corr"] = float(np.corrcoef(pr_ang, gt_ang)[0, 1])
+    ev["diag_rot_ratio_mean"] = float(np.mean(pr_ang / (gt_ang + 1e-9)))
+    ev["diag_norm_corr"] = float(
+        np.corrcoef(
+            np.linalg.norm(rels[:, :3, 3], axis=1),
+            np.linalg.norm(gt_rels[:, :3, 3], axis=1),
+        )[0, 1]
+    )
+    print(
+        "  diag: rot-corr {diag_rot_corr:.3f} (rx {diag_corr_rx:.2f} "
+        "ry {diag_corr_ry:.2f} rz {diag_corr_rz:.2f}) ratio "
+        "{diag_rot_ratio_mean:.3f} |t|corr {diag_norm_corr:.3f}".format(
+            **ev
+        ),
+        flush=True,
+    )
+    return ev
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    if jax.devices()[0].platform != "tpu":
+        print("REFUSING: not on TPU (training-dynamics conclusions "
+              "require chip runs — CLAUDE.md)", flush=True)
+        sys.exit(2)
+    res = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            res = json.load(f)
+
+    def arm(name, fn):
+        if name in res:
+            print(f"{name}: done previously "
+                  f"(t_err {res[name]['t_err_pct']:.2f})", flush=True)
+            return
+        print(f"=== arm {name} ===", flush=True)
+        res[name] = fn()
+        with open(OUT + ".tmp", "w") as f:
+            json.dump(res, f, indent=1, default=float)
+            f.write("\n")
+        os.replace(OUT + ".tmp", OUT)
+        e = res[name]
+        print(
+            f"{name}: t_err {e['t_err_pct']:.2f} %  "
+            f"r_err {e['r_err_deg_per_100m']:.2f}  "
+            f"snippet {e['snippet_ate_mean']:.3f}  "
+            f"rot_corr {e['diag_rot_corr']:.3f}  ({e['train_s']:.0f}s)",
+            flush=True,
+        )
+
+    arm("wander_tiny", lambda: run_arm("tiny"))
+    # geo=0 control: isolates the r4 geo_consistency default flip
+    # from the world-class change (VERDICT r3 weak #5 attribution).
+    arm("wander_tiny_nogeo", lambda: run_arm("tiny", geo=0.0))
+    # flow-loss-at-level-res quality gate (the train-step perf remedy,
+    # results_r4_train_prof3.json — flips the default only if this
+    # matches wander_tiny).
+    arm("wander_tiny_flowlevel",
+        lambda: run_arm("tiny", flow_res="level"))
+    arm("wander_res128", lambda: run_arm("davo-small", batch=8))
+    arm("wander_long", lambda: run_arm("tiny", steps=6000))
+    print("ladder4 ->", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()
