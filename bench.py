@@ -29,7 +29,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 # attention + pose at 128x416 on a GTX-1080-class GPU ~ O(15) fps.
 BASELINE_FPS = 15.0
 
-BATCH = 128
+# Batch amortizes the per-call host/dispatch gap (~2.8 ms against a
+# 6.1 ms device time at B=128 — results_r4_prof_serving.json trace).
+# Measured sweep (exp_serving_bites, one window): B=128 13,469 fps,
+# B=192 11,497 (layout anomaly, like r3's B=64), B=256 14,936 (best),
+# B=384/512 regress. 256 is the production serving batch.
+BATCH = 256
 WARMUP = 2
 ITERS = 8
 LOOPS = 5  # repo timing protocol: min over >= 5 loops (CLAUDE.md) —

@@ -11,20 +11,18 @@ LOGDIR=/tmp/r4_queue
 mkdir -p "$LOGDIR"
 
 jobs=(
-  # 0. real train-step decomposition (VERDICT #2/#4: the 1146 ms B=64
-  #    step at ~1 % MFU — name the sink)
+  # 0. train-step decomposition: the flow_level_loss remedy arm
+  #    (other arms journaled in results_r4_train_prof3.json)
   "tools/dev/exp_train_prof3.py|5400|5"
-  # 1. serving forward op-level profile (VERDICT #3)
-  "tools/dev/exp_prof_serving.py|3600|5"
-  # 2. dispatch probe rerun with the D2H matmul arm (elision evidence)
-  "tools/dev/exp_dispatch_probe.py|1800|3"
-  # 3. re-anchored quality ladder on wander worlds (VERDICT #1b)
-  "tools/dev/exp_quality_ladder4.py|14400|3"
-  # 4. bf16-Mosaic timebox (VERDICT #8 — one attempt, then closed)
+  # 1. bilinear-warp gather variants (block gather candidate)
+  "tools/dev/exp_warp_probe.py|3600|5"
+  # 2. re-anchored quality ladder on wander worlds (VERDICT #1b)
+  "tools/dev/exp_quality_ladder4.py|21600|3"
+  # 3. bf16-Mosaic timebox (VERDICT #8 — one attempt, then closed)
   "tools/dev/exp_bf16_probe.py|1800|3"
-  # 5. unsup regime on wander worlds (VERDICT #7)
+  # 4. unsup regime on wander worlds (VERDICT #7)
   "tools/dev/exp_unsup_wander.py|14400|3"
-  # 6. warm cache + headline
+  # 5. warm cache + headline (B=256 serving batch)
   "bench.py|1800|3"
 )
 
@@ -33,7 +31,7 @@ for spec in "${jobs[@]}"; do
   i=$((i + 1))
   [ "$i" -lt "$START" ] && continue
   IFS='|' read -r cmd tmo tries <<< "$spec"
-  name=$(echo "$cmd" | awk '{print $1}' | xargs basename .py)
+  name=$(basename "$(echo "$cmd" | awk '{print $1}')" .py)
   log="$LOGDIR/${i}_${name}.log"
   echo "=== job $i: $cmd (timeout ${tmo}s) -> $log ===" | tee -a "$LOGDIR/queue.log"
   TPU_RUN_SKIP_PROBE=1 TPU_RUN_LOG="$log.raw" tools/dev/tpu_run.sh "$cmd" "$tmo" "$tries" \
