@@ -584,3 +584,358 @@ class SyntheticSequence:
         v2 = proj[1] / proj[2]
         u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
         return np.stack([u2 - u, v2 - v], axis=-1).astype(np.float32)
+
+
+class DriveSequence:
+    """Forward-looking KITTI-like world: ground plane + sky + upright
+    billboards, yaw-heading trajectory. Exact GT for every quantity.
+
+    The plane worlds (SyntheticSequence) view a fronto-parallel wall:
+    depth is near-constant, yaw is entangled with lateral translation
+    (narrow-FOV planar ambiguity), and forward motion is capped by the
+    wall. This world is the reference's actual regime (SURVEY §3.1,
+    KITTI odometry): the camera drives along a varying-yaw path on a
+    textured ground plane with upright textured billboards at real
+    depth range, plus a direction-only procedural sky (photometric
+    signal that moves ONLY with rotation). Conventions:
+
+    * camera x right, y DOWN, z forward; ground at world y = +cam_h;
+      heading = rotation about y; pose(i) = cam-to-world like
+      SyntheticSequence (gt_rel / warp_pose contracts identical).
+    * ground texture: procedural sinusoid field over world (x, z) with
+      per-component footprint attenuation (grazing-angle anti-alias);
+      sky: same field over (azimuth, elevation) * sky_scale at
+      depth = far_z.
+    * seg: ground labels = Voronoi cells over (x, z); sky = class 10
+      (the Cityscapes train-id for sky); billboards carry their own
+      labels (movers >= DYNAMIC_LABEL_START, statics below).
+    """
+
+    def __init__(
+        self,
+        n_frames: int = 12,
+        height: int = 64,
+        width: int = 96,
+        seed: int = 0,
+        cam_height: float = 1.6,
+        forward_speed: float = 0.8,
+        jitter: float = 0.02,
+        rot_jitter: float = 0.002,
+        yaw_amp: float = 0.02,
+        yaw_period: float = 60.0,
+        pitch_amp: float = 0.004,
+        n_static: int = 12,
+        n_dynamic: int = 0,
+        dynamic_speed: float = 0.3,
+        far_z: float = 300.0,
+        texture_extent: float = 120.0,
+        sky_scale: float = 60.0,
+    ):
+        self.n_frames = n_frames
+        self.height = height
+        self.width = width
+        self.cam_height = cam_height
+        self.far_z = far_z
+        self.texture_extent = texture_extent
+        self.sky_scale = sky_scale
+        rng = np.random.default_rng(seed)
+
+        # Procedural texture components (shared by ground and sky).
+        n_comp = 32
+        lam = np.exp(rng.uniform(np.log(1.5), np.log(60.0), n_comp))
+        k = 2 * np.pi / lam
+        ang = rng.uniform(0, 2 * np.pi, n_comp)
+        self._proc_k = np.stack([k * np.cos(ang), k * np.sin(ang)], -1)
+        self._proc_phase = rng.uniform(0, 2 * np.pi, (n_comp, 3))
+        amp = np.sqrt(lam)
+        self._proc_amp = (amp / amp.sum()).astype(np.float64)
+
+        # Ground semantic labels: Voronoi cells over (x, z), tiled.
+        res = 512
+        n_cells = 64
+        cell_xy = rng.uniform(0, res, (n_cells, 2)).astype(np.float32)
+        bg_hi = DYNAMIC_LABEL_START  # ground labels stay static-range
+        cell_label = rng.integers(0, bg_hi, n_cells)
+        cell_label[cell_label == 10] = 9  # 10 is reserved for sky
+        yy, xx = np.meshgrid(
+            np.arange(res, dtype=np.float32),
+            np.arange(res, dtype=np.float32),
+            indexing="ij",
+        )
+        best = np.full((res, res), np.inf, np.float32)
+        seg = np.zeros((res, res), np.int32)
+        for (cx, cy), lab in zip(cell_xy, cell_label):
+            d = (xx - cx) ** 2 + (yy - cy) ** 2
+            closer = d < best
+            best[closer] = d[closer]
+            seg[closer] = lab
+        self.seg_texture = seg
+        self.sky_label = 10
+
+        f = 0.9 * width
+        self.K = np.array(
+            [[f, 0, width / 2], [0, f, height / 2], [0, 0, 1.0]],
+            np.float64,
+        )
+
+        # Heading: varying yaw rate (3-sinusoid, like wander), camera
+        # tangent-tracking via Ry(psi); small sinusoidal pitch wobble.
+        comps = []
+        for frac in (1.0, 0.53, 0.31):
+            period = yaw_period * frac * rng.uniform(0.8, 1.2)
+            comps.append(
+                (2 * np.pi / period, rng.uniform(0, 2 * np.pi), frac)
+            )
+        t_arr = np.arange(n_frames)
+        wsum = sum(c[2] for c in comps)
+        omega = sum(
+            a / wsum * yaw_amp * np.sin(w * t_arr + ph)
+            for (w, ph, a) in comps
+        )
+        psi = np.cumsum(omega) - omega[0]
+        pitch = pitch_amp * np.sin(
+            2 * np.pi * t_arr / (yaw_period * 0.4 * rng.uniform(0.8, 1.2))
+            + rng.uniform(0, 2 * np.pi)
+        )
+        poses = []
+        p = np.zeros(3)
+        for t in range(n_frames):
+            c, s = np.cos(psi[t]), np.sin(psi[t])
+            Ry = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+            cp, sp = np.cos(pitch[t]), np.sin(pitch[t])
+            Rx = np.array([[1.0, 0, 0], [0, cp, -sp], [0, sp, cp]])
+            T = np.eye(4)
+            T[:3, :3] = Ry @ Rx
+            T[:3, 3] = p
+            poses.append(T)
+            p = p + forward_speed * np.array(
+                [np.sin(psi[t]), 0.0, np.cos(psi[t])]
+            )
+        for t in range(1, n_frames):
+            xi = np.concatenate(
+                [rng.normal(0, jitter, 3), rng.normal(0, rot_jitter, 3)]
+            )
+            poses[t] = poses[t] @ _se3_exp_np(xi)
+        self.poses = np.stack(poses)
+
+        # Upright billboards along the path: center/edge basis stored
+        # as general plane rects (c, e1 horizontal, e2 = world -y up
+        # handled via +y down extents).
+        self.objects: list[dict] = []
+        for is_dyn in [False] * n_static + [True] * n_dynamic:
+            fidx = int(rng.integers(0, n_frames))
+            o = self.poses[fidx][:3, 3]
+            ps = psi[fidx]
+            fwd = np.array([np.sin(ps), 0.0, np.cos(ps)])
+            lat = np.array([np.cos(ps), 0.0, -np.sin(ps)])
+            dist = rng.uniform(8.0, 80.0)
+            lateral = rng.uniform(2.0, 14.0) * rng.choice([-1.0, 1.0])
+            if is_dyn:
+                lateral = rng.uniform(-3.0, 3.0)
+            w_obj = rng.uniform(1.5, 6.0)
+            h_obj = rng.uniform(1.5, 5.0)
+            c = (
+                o
+                + dist * fwd
+                + lateral * lat
+                + np.array([0.0, cam_height - h_obj / 2, 0.0])
+            )
+            normal = -fwd  # faces back along the local heading
+            e1 = lat
+            e2 = np.array([0.0, 1.0, 0.0])  # y down: ly grows downward
+            vel = np.zeros(3)
+            label = int(rng.integers(0, DYNAMIC_LABEL_START))
+            if label == 10:
+                label = 9
+            if is_dyn:
+                vel = dynamic_speed * (
+                    fwd * rng.uniform(-1.0, 1.0)
+                    + lat * rng.uniform(-0.3, 0.3)
+                )
+                label = int(
+                    rng.integers(DYNAMIC_LABEL_START, NUM_SEG_CLASSES)
+                )
+            otex = np.zeros((64, 64, 3), np.float32)
+            for octave, sigma in ((1.0, 8.0), (0.6, 3.0)):
+                layer = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+                for ch in range(3):
+                    layer[..., ch] = gaussian_filter(layer[..., ch], sigma)
+                layer -= layer.min()
+                layer /= layer.max() + 1e-6
+                otex += octave * layer
+            otex /= otex.max()
+            self.objects.append(
+                dict(c=c, n=normal, e1=e1, e2=e2, w=w_obj, h=h_obj,
+                     vel=vel, label=label, tex=otex)
+            )
+
+    # ------------------------------------------------------------------
+    def __len__(self) -> int:
+        return self.n_frames
+
+    def pose(self, i: int) -> np.ndarray:
+        return self.poses[i]
+
+    def gt_rel(self, i: int) -> np.ndarray:
+        return np.linalg.inv(self.poses[i]) @ self.poses[i + 1]
+
+    def warp_pose(self, target: int, source: int) -> np.ndarray:
+        return np.linalg.inv(self.poses[source]) @ self.poses[target]
+
+    def _rays(self) -> np.ndarray:
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        pix = np.stack([u, v, np.ones_like(u)], 0).reshape(3, -1)
+        rays = np.linalg.inv(self.K) @ pix.astype(np.float64)
+        return rays.reshape(3, self.height, self.width)
+
+    def _surfaces(self, i: int):
+        """Per-pixel nearest surface: returns (surf, depth, point_w,
+        fp, sky). surf: -2 sky, -1 ground, >=0 object index; depth is
+        camera-frame z (rays have unit z); point_w: (3, H, W) world
+        hit points (sky rows hold o + far_z*d); fp: texture footprint
+        in world units (ground anti-alias); sky: bool mask."""
+        C = self.poses[i]
+        rays = self._rays()
+        d_w = np.einsum("ij,jhw->ihw", C[:3, :3], rays)
+        o = C[:3, 3]
+        dy = d_w[1]
+        eps = 1e-6
+        t_g = np.where(
+            dy > eps, (self.cam_height - o[1]) / np.where(dy > eps, dy, 1.0),
+            np.inf,
+        )
+        sky = ~np.isfinite(t_g) | (t_g > self.far_z) | (t_g <= 0)
+        depth = np.where(sky, self.far_z, t_g)
+        surf = np.where(sky, -2, -1).astype(np.int32)
+        point = o[:, None, None] + depth[None] * d_w
+        # Ground texture footprint: horizontal ~ t/fx; along-depth
+        # ~ t^2 * |dy| / (fx * h) is the classic t^2/(f h) growth.
+        fx = self.K[0, 0]
+        h_above = max(self.cam_height - float(o[1]), 0.05)
+        fp = np.maximum(depth / fx, depth * depth / (fx * h_above) * 0.5)
+        lx_all = np.zeros_like(depth)
+        ly_all = np.zeros_like(depth)
+        for k, obj in enumerate(self.objects):
+            c = obj["c"] + obj["vel"] * i
+            denom = np.einsum("j,jhw->hw", obj["n"], d_w)
+            denom = np.where(np.abs(denom) < eps, eps, denom)
+            t_k = (obj["n"] @ (c - o)) / denom
+            hit = o[:, None, None] + t_k[None] * d_w - c[:, None, None]
+            lx = np.einsum("j,jhw->hw", obj["e1"], hit) / obj["w"] + 0.5
+            ly = np.einsum("j,jhw->hw", obj["e2"], hit) / obj["h"] + 0.5
+            inside = (
+                (t_k > 0.5)
+                & (lx >= 0) & (lx <= 1)
+                & (ly >= 0) & (ly <= 1)
+                & (t_k < depth)
+            )
+            depth = np.where(inside, t_k, depth)
+            surf = np.where(inside, k, surf)
+            lx_all = np.where(inside, lx, lx_all)
+            ly_all = np.where(inside, ly, ly_all)
+            pt = o[:, None, None] + t_k[None] * d_w
+            point = np.where(inside[None], pt, point)
+        return surf, depth, point, fp, d_w
+
+    def _proc_sample(self, a: np.ndarray, b: np.ndarray,
+                     fp: np.ndarray | None = None) -> np.ndarray:
+        """Procedural RGB at 2-D coords (a, b), with optional
+        per-pixel footprint attenuation per frequency component."""
+        arg = (
+            a[..., None] * self._proc_k[:, 0]
+            + b[..., None] * self._proc_k[:, 1]
+        )
+        amp = self._proc_amp[None, None]
+        if fp is not None:
+            kmag = np.linalg.norm(self._proc_k, axis=-1)
+            att = np.exp(-0.5 * (kmag[None, None] * fp[..., None]) ** 2)
+            amp = amp * att
+        sin_a, cos_a = np.sin(arg), np.cos(arg)
+        w_sin = np.cos(self._proc_phase)
+        w_cos = np.sin(self._proc_phase)
+        out = 0.5 + 1.6 * (
+            (sin_a * amp) @ w_sin + (cos_a * amp) @ w_cos
+        )
+        return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+    def frame(self, i: int) -> np.ndarray:
+        surf, _, point, fp, d_w = self._surfaces(i)
+        # Ground
+        out = self._proc_sample(point[0], point[2], fp)
+        # Sky: direction-only field (moves with rotation only).
+        d_norm = d_w / np.linalg.norm(d_w, axis=0, keepdims=True)
+        az = np.arctan2(d_norm[0], d_norm[2]) * self.sky_scale
+        el = np.arcsin(np.clip(-d_norm[1], -1, 1)) * self.sky_scale
+        sky_img = self._proc_sample(az, el)
+        m_sky = surf == -2
+        out[m_sky] = 0.35 * sky_img[m_sky] + np.array(
+            [0.35, 0.42, 0.5], np.float32
+        )
+        out = np.clip(out, 0.0, 1.0)
+        for k, obj in enumerate(self.objects):
+            m = surf == k
+            if not m.any():
+                continue
+            res = obj["tex"].shape[0]
+            # reuse lx/ly via recompute (kept out of _surfaces return
+            # for interface compactness)
+            c = obj["c"] + obj["vel"] * i
+            C = self.poses[i]
+            o = C[:3, 3]
+            denom = np.einsum("j,jhw->hw", obj["n"], d_w)
+            denom = np.where(np.abs(denom) < 1e-6, 1e-6, denom)
+            t_k = (obj["n"] @ (c - o)) / denom
+            hit = o[:, None, None] + t_k[None] * d_w - c[:, None, None]
+            lx = np.einsum("j,jhw->hw", obj["e1"], hit) / obj["w"] + 0.5
+            ly = np.einsum("j,jhw->hw", obj["e2"], hit) / obj["h"] + 0.5
+            oc = np.stack(
+                [np.clip(ly[m], 0, 1) * (res - 1),
+                 np.clip(lx[m], 0, 1) * (res - 1)]
+            )
+            for ch in range(3):
+                out[..., ch][m] = map_coordinates(
+                    obj["tex"][..., ch], oc, order=1, mode="nearest"
+                )
+        return out.astype(np.float32)
+
+    def depth(self, i: int) -> np.ndarray:
+        _, depth, *_ = self._surfaces(i)
+        return depth.astype(np.float32)
+
+    def seg(self, i: int) -> np.ndarray:
+        surf, _, point, _, _ = self._surfaces(i)
+        res = self.seg_texture.shape[0]
+        half = self.texture_extent / 2
+        tx = (point[0] + half) / self.texture_extent * (res - 1)
+        tz = (point[2] + half) / self.texture_extent * (res - 1)
+        out = map_coordinates(
+            self.seg_texture, np.stack([tz, tx]), order=0,
+            mode="grid-wrap",
+        ).astype(np.int32)
+        out[surf == -2] = self.sky_label
+        for k, obj in enumerate(self.objects):
+            out[surf == k] = obj["label"]
+        return out
+
+    def dynamic_mask(self, i: int) -> np.ndarray:
+        return self.seg(i) >= DYNAMIC_LABEL_START
+
+    def gt_flow(self, i: int, j: int) -> np.ndarray:
+        surf, _, point, _, _ = self._surfaces(i)
+        p_w = point.copy()
+        for k, obj in enumerate(self.objects):
+            m = surf == k
+            if m.any() and np.any(obj["vel"]):
+                disp = obj["vel"] * (j - i)
+                for ax in range(3):
+                    p_w[ax][m] += disp[ax]
+        Cj_inv = np.linalg.inv(self.poses[j])
+        p_c = (
+            np.einsum("ij,jhw->ihw", Cj_inv[:3, :3], p_w)
+            + Cj_inv[:3, 3][:, None, None]
+        )
+        proj = np.einsum("ij,jhw->ihw", self.K, p_c)
+        u2 = proj[0] / proj[2]
+        v2 = proj[1] / proj[2]
+        u, v = np.meshgrid(np.arange(self.width), np.arange(self.height))
+        return np.stack([u2 - u, v2 - v], axis=-1).astype(np.float32)

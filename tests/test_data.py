@@ -493,6 +493,88 @@ class TestWanderWorld:
         assert not np.allclose(a.poses, c.poses)
 
 
+class TestDriveWorld:
+    """Forward-looking ground-plane world (r4): the reference's actual
+    regime — forward motion, varying yaw, real depth range, sky at
+    infinity. Exact GT contracts identical to SyntheticSequence."""
+
+    @pytest.fixture(scope="class")
+    def drive(self):
+        from davo_tpu.data.synthetic import DriveSequence
+
+        return DriveSequence(
+            n_frames=40, height=64, width=96, seed=1, yaw_amp=0.03,
+            n_static=12,
+        )
+
+    def test_depth_range_and_sky(self, drive):
+        d = drive.depth(10)
+        assert d.min() < 10.0 and d.max() == drive.far_z
+        sg = drive.seg(10)
+        sky_frac = (sg == drive.sky_label).mean()
+        assert 0.2 < sky_frac < 0.7
+        # no ground/billboard pixel may carry the sky label
+        surf, *_ = drive._surfaces(10)
+        assert (sg[surf != -2] != drive.sky_label).all()
+
+    def test_gt_flow_photometric(self, drive):
+        from scipy.ndimage import map_coordinates
+
+        f0, f1 = drive.frame(10), drive.frame(11)
+        flow = drive.gt_flow(10, 11)
+        H, W = drive.height, drive.width
+        u, v = np.meshgrid(np.arange(W), np.arange(H))
+        uu, vv = u + flow[..., 0], v + flow[..., 1]
+        valid = (uu >= 1) & (uu < W - 1) & (vv >= 1) & (vv < H - 1)
+        rec = np.stack(
+            [map_coordinates(f1[..., c], [vv, uu], order=1)
+             for c in range(3)], -1,
+        )
+        err = np.abs(rec - f0).mean(-1)[valid].mean()
+        assert err < 0.02, err
+
+    def test_projective_warp_consistent(self, drive):
+        tgt = jnp.asarray(drive.frame(10))[None]
+        src = jnp.asarray(drive.frame(9))[None]
+        depth = jnp.asarray(drive.depth(10))[None]
+        pose = jnp.asarray(drive.warp_pose(10, 9), jnp.float32)[None]
+        K = jnp.asarray(drive.K, jnp.float32)[None]
+        recon, valid = warp.projective_inverse_warp(src, depth, pose, K)
+        surf, *_ = drive._surfaces(10)
+        # Sky rides at a finite far-depth proxy; exclude it from the
+        # exactness check (its true depth is infinite).
+        v = np.asarray(valid).reshape(1, 64, 96) * (surf[None] != -2)
+        err = (np.abs(np.asarray(recon - tgt)).mean(-1) * v).sum() / v.sum()
+        assert err < 0.03, err
+
+    def test_rotation_varies_and_chains(self, drive):
+        rels = np.stack([drive.gt_rel(i) for i in range(39)])
+        angs = np.degrees(
+            np.arccos(
+                np.clip(
+                    (np.trace(rels[:, :3, :3], axis1=1, axis2=2) - 1) / 2,
+                    -1, 1,
+                )
+            )
+        )
+        assert angs.std() > 0.2 * angs.mean()
+        chained = drive.poses[0]
+        for r in rels:
+            chained = chained @ r
+        np.testing.assert_allclose(chained, drive.poses[39], atol=1e-8)
+
+    def test_snippet_dataset_compatible(self, drive):
+        from davo_tpu.data.snippets import SnippetDataset
+
+        ds = SnippetDataset(
+            drive, batch_size=2, with_seg=True, with_gt=True, seed=0
+        )
+        b = next(ds.batches(steps=1))
+        assert b["target"].shape == (2, 64, 96, 3)
+        assert b["gt_pose"].shape == (2, 2, 4, 4)
+        assert b["seg"].dtype == np.int32
+
+
 class TestSnippets:
     def test_indices(self):
         assert snippet_indices(6, 3) == [1, 2, 3, 4]
