@@ -72,6 +72,48 @@ class TestBilinearSample:
         out, _ = warp.bilinear_sample(img, coords)
         assert float(out[0, 0, 0, 0]) == 0.5
 
+    def test_block_gather_matches_take4(self, rng):
+        """The production (2,2,C)-block lax.gather formulation equals
+        the four-tap formulation — values, masks, and d/d(coords) —
+        including far-out-of-range coordinates (both clamp to the
+        border pixel with total weight 1). Hardware A/B:
+        results_r4_warp_probe.json (1.39x fwd / 1.30x grad)."""
+        img = jnp.asarray(rng.uniform(size=(2, 9, 13, 3)), jnp.float32)
+        # Coordinates spanning in-range, boundary, and far OOB.
+        coords = jnp.asarray(
+            rng.uniform(-4.0, 17.0, size=(2, 6, 7, 2)), jnp.float32
+        )
+        for fill in ("zeros", "border"):
+            a, va = warp.bilinear_sample(
+                img, coords, fill=fill, method="take4"
+            )
+            b, vb = warp.bilinear_sample(
+                img, coords, fill=fill, method="block"
+            )
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        # Smooth in-range field: coordinate gradients must agree too
+        # (at exact integer boundaries the clamp subgradient may
+        # differ — measure-zero; the loss never sits there).
+        sm = jnp.asarray(
+            rng.uniform(0.3, 7.3, size=(2, 6, 7, 2)), jnp.float32
+        )
+        ga = jax.grad(
+            lambda c: warp.bilinear_sample(
+                img, c, fill="border", method="take4"
+            )[0].mean()
+        )(sm)
+        gb = jax.grad(
+            lambda c: warp.bilinear_sample(
+                img, c, fill="border", method="block"
+            )[0].mean()
+        )(sm)
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb), atol=1e-6
+        )
+
 
 class TestProjectiveInverseWarp:
     def test_identity_pose(self, rng):

@@ -189,6 +189,21 @@ bench_step("fwd_only", build_loss(4, True, True, 0.85), grad=False)
 # res_mode="level") — expect ~full minus ~720 ms.
 bench_step("flow_level_loss", build_loss(4, True, True, 0.85, "level"))
 
+# In-context A/B of the r4 block-gather bilinear sampler (installed
+# as the core/warp default after results_r4_warp_probe.json: 1.39x
+# fwd / 1.30x grad per full-res warp, standalone). Both arms run
+# FRESH in one window (the cached flow_level_loss above predates the
+# block default — a different window AND the take4 gather; it is the
+# historical anchor only). Photometric's full-res warps are the
+# remaining gather load under res_mode="level".
+from davo_tpu.core import warp as _warp  # noqa: E402
+
+_warp._DEFAULT_GATHER = "take4"
+bench_step("flow_level_take4", build_loss(4, True, True, 0.85, "level"))
+_warp._DEFAULT_GATHER = "block"
+bench_step("flow_level_block", build_loss(4, True, True, 0.85, "level"))
+_warp._DEFAULT_GATHER = os.environ.get("DAVO_WARP_GATHER", "block")
+
 print(json.dumps({k: round(v["ms"], 1) for k, v in res.items()},
                  indent=1), flush=True)
 print("->", OUT, flush=True)
