@@ -43,6 +43,48 @@ class TestResize:
         assert out.shape == (1, 6, 6, 2)
 
 
+class TestBandedWarp:
+    def test_matches_gather_in_band(self, rng):
+        """Exact equality vs bilinear_sample wherever displacement
+        fits the (rh, rv) band (the kernel's contract)."""
+        from davo_tpu.kernels.bandwarp import banded_warp
+
+        B, H, W, C = 2, 16, 24, 3
+        img = jnp.asarray(rng.uniform(size=(B, H, W, C)), jnp.float32)
+        gy, gx = np.meshgrid(
+            np.arange(H), np.arange(W), indexing="ij"
+        )
+        du = 2.5 * np.sin(gy / 5.0)[None]
+        dv = 1.5 * np.cos(gx / 7.0)[None]
+        coords = jnp.asarray(
+            np.stack(
+                [np.broadcast_to(gx + du, (B, H, W)),
+                 np.broadcast_to(gy + dv, (B, H, W))], -1
+            ),
+            jnp.float32,
+        )
+        want, wvalid = bilinear_sample(img, coords, fill="border")
+        got, gvalid = banded_warp(img, coords, rv=2, rh=4)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(gvalid), np.asarray(wvalid)
+        )
+
+    def test_out_of_band_clamps_and_stays_finite(self, rng):
+        from davo_tpu.kernels.bandwarp import banded_warp
+
+        img = jnp.asarray(rng.uniform(size=(1, 8, 16, 2)), jnp.float32)
+        coords = jnp.asarray(
+            rng.uniform(-30, 60, size=(1, 8, 16, 2)), jnp.float32
+        )
+        out, valid = banded_warp(img, coords, rv=2, rh=4, fill="zeros")
+        assert bool(jnp.isfinite(out).all())
+        # zeros fill: invalid (out-of-frame) samples are zeroed
+        assert float(jnp.abs(out * (1 - valid)).max()) == 0.0
+
+
 class TestMatmulSampler:
     def test_matches_gather_sampler(self, rng):
         img = jnp.asarray(rng.uniform(size=(2, 8, 10, 4)), jnp.float32)

@@ -110,6 +110,37 @@ def run_arm(preset="tiny", steps=2500, batch=16, n_worlds=16,
     ev = evaluate_sequence(pred, gt)
     ev["train_s"] = time.time() - t0
 
+    # Memorization-vs-readability diagnostic: rotation corr on a LONG
+    # seed-1 world — same texture family as a train world, trajectory
+    # beyond the 24 trained frames. High corr here + low corr on
+    # seed-99 = texture-shortcut memorization; low corr on both =
+    # rotation cue not generalizing at all.
+    tw = SyntheticSequence(
+        n_frames=400, height=H, width=W, seed=1, **WANDER_KW
+    )
+    tw_frames = np.stack([tw.frame(i) for i in range(400)])
+    tw_segs = np.stack([tw.seg(i) for i in range(400)])
+    tw_rels = np.asarray(
+        predict_sequence(apply_fn, tw_frames, seg=tw_segs,
+                         batch_size=64)
+    )
+    tw_gt = np.asarray(tw.poses)
+    tw_gt_rels = np.stack(
+        [np.linalg.inv(tw_gt[i]) @ tw_gt[i + 1]
+         for i in range(len(tw_gt) - 1)]
+    )
+    te = mat_to_euler_np(tw_rels[:, :3, :3])
+    ge = mat_to_euler_np(tw_gt_rels[:, :3, :3])
+    for k, name in enumerate(("rx", "ry", "rz")):
+        ev[f"diag_tw_corr_{name}"] = float(
+            np.corrcoef(te[:, k], ge[:, k])[0, 1]
+        )
+    print(
+        "  train-world diag: rx {diag_tw_corr_rx:.2f} "
+        "ry {diag_tw_corr_ry:.2f} rz {diag_tw_corr_rz:.2f}".format(**ev),
+        flush=True,
+    )
+
     gt_rels = np.stack(
         [np.linalg.inv(gt[i]) @ gt[i + 1] for i in range(len(gt) - 1)]
     )

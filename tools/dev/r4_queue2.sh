@@ -15,6 +15,8 @@ jobs=(
   # 0. warp A/B in the real train step (flow_level_take4 vs _block,
   #    fresh same-window arms; earlier arms skip via per-arm JSON)
   "tools/dev/exp_train_prof3.py|5400|5"
+  # 0b. gather-free banded warp kernel probe (kernels/bandwarp.py)
+  "tools/dev/exp_warp_probe2.py|3600|5"
   # 1. generalization axis: ladder4's per-axis corr ~0 on held-out
   #    worlds vs 0.96 overfit — is the floor a DATA budget?
   "tools/dev/exp_quality_ladder4b.py|21600|3"
