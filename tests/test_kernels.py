@@ -72,6 +72,44 @@ class TestBandedWarp:
             np.asarray(gvalid), np.asarray(wvalid)
         )
 
+    def test_grads_match_gather_in_band(self, rng):
+        """Hand-written banded VJP == take4 autodiff for BOTH img and
+        coords cotangents on in-band fields (incl. exactly-integer
+        coords and frame edges — the floor-cell subgradient and the
+        asymmetric edge masks are pinned by the u=0 / u=W-1 rows)."""
+        from davo_tpu.kernels.bandwarp import banded_warp
+
+        B, H, W, C = 2, 12, 16, 3
+        img = jnp.asarray(rng.uniform(size=(B, H, W, C)), jnp.float32)
+        gy, gx = np.meshgrid(
+            np.arange(H), np.arange(W), indexing="ij"
+        )
+        du = rng.uniform(-3.9, 3.9, (B, H, W))
+        dv = rng.uniform(-1.9, 1.9, (B, H, W))
+        du[0, 2] = 0.0  # a row of exactly-integer u (kink subgradient)
+        coords = jnp.asarray(
+            np.stack([gx + du, gy + dv], -1), jnp.float32
+        )
+        wgt = jnp.asarray(rng.normal(size=(B, H, W, C)), jnp.float32)
+
+        def loss_ref(img, c):
+            return (
+                bilinear_sample(img, c, fill="border", method="take4")[0]
+                * wgt
+            ).sum()
+
+        def loss_band(img, c):
+            return (banded_warp(img, c, rv=2, rh=4)[0] * wgt).sum()
+
+        gr = jax.grad(loss_ref, (0, 1))(img, coords)
+        gb = jax.grad(loss_band, (0, 1))(img, coords)
+        np.testing.assert_allclose(
+            np.asarray(gr[0]), np.asarray(gb[0]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(gr[1]), np.asarray(gb[1]), atol=1e-5
+        )
+
     def test_out_of_band_clamps_and_stays_finite(self, rng):
         from davo_tpu.kernels.bandwarp import banded_warp
 

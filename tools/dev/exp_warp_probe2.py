@@ -138,6 +138,15 @@ timeit("xla_rv2_rh8",
        jax.jit(lambda i, c: xla_banded(i, c, 2, 8)),
        img, coords)
 
+# Gradient arms (d/d(coords) — the loss's live direction); equality
+# is CPU-pinned in tests/test_kernels.py, timing-only here.
+ga = jax.jit(jax.grad(
+    lambda c: bilinear_sample(img, c, fill="border")[0].mean()))
+gb16 = jax.jit(jax.grad(
+    lambda c: banded_warp(img, c, rv=4, rh=16)[0].mean()))
+timeit("anchor_block_grad", ga, coords, check=False)
+timeit("banded_rv4_rh16_grad", gb16, coords, check=False)
+
 print(json.dumps({k: (round(v["ms"], 2) if "ms" in v else v["error"])
                   for k, v in res.items()}, indent=1), flush=True)
 print("->", OUT, flush=True)
