@@ -209,9 +209,12 @@ class TrainConfig:
     # PERF: the full-res bilinear gather warp is the train step's
     # dominant cost — flow_losses own 742 of 1,170 ms/step at B=64
     # 128x416 (results_r4_train_prof3.json); "level" removes ~63 % of
-    # the step. Default flips to "level" only after the on-chip
-    # quality gate (exp_quality_ladder4 flow-level arm).
-    flow_loss_res: str = "full"
+    # the step (1,170 -> 447 ms measured). Default flipped to "level"
+    # after the on-chip quality gate passed (exp_quality_ladder4
+    # wander_tiny_flowlevel == wander_tiny: t_err 30.93 vs 30.50,
+    # r_err 12.84 vs 12.64, snippet 0.854 vs 0.845 — within the
+    # arm-to-arm noise band; results_r4_quality.json).
+    flow_loss_res: str = "level"
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     # Rotation-term multiplier inside the supervised pose L2. At
     # KITTI-scale motions the squared rotation residual is ~10^4

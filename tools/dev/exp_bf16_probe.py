@@ -57,9 +57,12 @@ CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def vspec(shape):
+    # Variadic index_map: with no grid, pallas calls it with ZERO
+    # args (the r4 first-run bug: a unary lambda made every arm FAIL
+    # on a Python TypeError masquerading as a kernel failure).
     return pl.BlockSpec(
         tuple(shape),
-        partial(lambda nd, i: (0,) * nd, len(shape)),
+        partial(lambda nd, *i: (0,) * nd, len(shape)),
         memory_space=pltpu.VMEM,
     )
 

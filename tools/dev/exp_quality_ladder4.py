@@ -78,7 +78,12 @@ def mat_to_euler_np(R):
 
 
 def rot_angle(m):
-    tr = np.trace(m[..., :3, :3])
+    # NB: np.trace's DEFAULT axes are (0, 1) — on an (N, 3, 3) stack
+    # that traces over the batch axis and made every r4 ladder4
+    # diag_rot_corr meaningless (the -0.88..-0.999 artifact band).
+    # The per-axis diag_corr_{rx,ry,rz} were always computed
+    # correctly and are the trustworthy rotation diagnostics.
+    tr = np.trace(m[..., :3, :3], axis1=-2, axis2=-1)
     return np.degrees(np.arccos(np.clip((tr - 1) / 2, -1.0, 1.0)))
 
 

@@ -195,6 +195,10 @@ def main():
     arm("worlds128", lambda: run_arm(n_worlds=128))
     arm("frames96", lambda: run_arm(n_frames=96))
     arm("worlds128_f96", lambda: run_arm(n_worlds=128, n_frames=96))
+    # ladder4's wander_long: 6000 steps cut t_err 30.5 -> 25.1 (not
+    # converged at 2500); compose with the data axis.
+    arm("worlds128_f96_long",
+        lambda: run_arm(n_worlds=128, n_frames=96, steps=6000))
     print("ladder4b ->", OUT, flush=True)
 
 

@@ -17,6 +17,9 @@ jobs=(
   "tools/dev/exp_train_prof3.py|5400|5"
   # 0b. gather-free banded warp kernel probe (kernels/bandwarp.py)
   "tools/dev/exp_warp_probe2.py|3600|5"
+  # 0c. bf16 timebox RERUN — the first run died on a harness bug
+  #     (unary index_map lambda), every arm was a Python TypeError
+  "tools/dev/exp_bf16_probe.py|1800|3"
   # 1. generalization axis: ladder4's per-axis corr ~0 on held-out
   #    worlds vs 0.96 overfit — is the floor a DATA budget?
   "tools/dev/exp_quality_ladder4b.py|21600|3"
