@@ -32,8 +32,13 @@ from davo_tpu.core import geometry as geo
 
 # Production default; "take4" re-selects the legacy formulation
 # (equality + timing A/B in tools/dev/exp_warp_probe.py and the
-# exp_train_prof3 in-context arm).
+# exp_train_prof3 in-context arm). "banded" selects the gather-free
+# Pallas shift-accumulate kernel (kernels/bandwarp.py; band via
+# DAVO_WARP_BAND="rv,rh") — probe candidate, not yet the default.
 _DEFAULT_GATHER = os.environ.get("DAVO_WARP_GATHER", "block")
+_BAND = tuple(
+    int(t) for t in os.environ.get("DAVO_WARP_BAND", "4,16").split(",")
+)
 
 
 def bilinear_sample(
@@ -53,14 +58,22 @@ def bilinear_sample(
             an EMPTY mask (warp everything out of frame -> loss 0 —
             observed collapsing a TPU training run), while border
             samples keep out-of-frame pixels penalized.
-    method: "block" (default; one (2,2,C) lax.gather per pixel) or
-            "take4" (four flat take_along_axis taps). Identical
-            results — both reduce to edge-clamped hat-weight
-            interpolation; see module docstring for the measured gap.
+    method: "block" (default; one (2,2,C) lax.gather per pixel),
+            "take4" (four flat take_along_axis taps), or "banded"
+            (gather-free Pallas kernel; exact within the configured
+            displacement band, band-edge-clamped beyond — VO loss
+            path only). block/take4 are identical; see module
+            docstring for the measured gaps.
     Returns (sampled (B, Ho, Wo, C), valid (B, Ho, Wo, 1) in {0., 1.}).
     """
-    if (method or _DEFAULT_GATHER) == "block":
+    m = method or _DEFAULT_GATHER
+    if m == "block":
         return _bilinear_sample_block(img, coords, fill)
+    if m == "banded":
+        from davo_tpu.kernels.bandwarp import banded_warp
+
+        return banded_warp(img, coords, rv=_BAND[0], rh=_BAND[1],
+                           fill=fill)
     return _bilinear_sample_take4(img, coords, fill)
 
 

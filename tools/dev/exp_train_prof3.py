@@ -202,6 +202,11 @@ _warp._DEFAULT_GATHER = "take4"
 bench_step("flow_level_take4", build_loss(4, True, True, 0.85, "level"))
 _warp._DEFAULT_GATHER = "block"
 bench_step("flow_level_block", build_loss(4, True, True, 0.85, "level"))
+# Gather-free banded Pallas warp (kernels/bandwarp.py) in the REAL
+# train step — the production GO/NO-GO for the kernel (standalone
+# numbers: exp_warp_probe2).
+_warp._DEFAULT_GATHER = "banded"
+bench_step("flow_level_banded", build_loss(4, True, True, 0.85, "level"))
 _warp._DEFAULT_GATHER = os.environ.get("DAVO_WARP_GATHER", "block")
 
 print(json.dumps({k: round(v["ms"], 1) for k, v in res.items()},
