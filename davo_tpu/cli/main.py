@@ -328,12 +328,25 @@ def cmd_infer(args) -> int:
             print(f"no checkpoint found in {args.ckpt}", file=sys.stderr)
             return 1
         state = restored
-    apply_fn = make_pose_apply_fn(
-        model, state.params, cfg.model.attention,
-        compiler_options=serving_opts,
-    )
+    scan_chunks = max(1, getattr(args, "scan_chunks", 1))
+    if scan_chunks > 1:
+        # Dispatch-amortized serving: K batches per device call
+        # (lax.scan) — pays the per-call host/dispatch gap once per K
+        # batches, numerics identical (results_r4_serving_scan.json).
+        from davo_tpu.eval.runner import make_pose_apply_scan_fn
+
+        apply_fn = make_pose_apply_scan_fn(
+            model, state.params, cfg.model.attention,
+            compiler_options=serving_opts,
+        )
+    else:
+        apply_fn = make_pose_apply_fn(
+            model, state.params, cfg.model.attention,
+            compiler_options=serving_opts,
+        )
     rels = predict_sequence(
-        apply_fn, frames, seg=seg, batch_size=args.batch_size
+        apply_fn, frames, seg=seg, batch_size=args.batch_size,
+        scan_chunks=scan_chunks,
     )
     traj = assemble_trajectory(rels)
     write_poses_kitti(args.out, traj)
@@ -732,6 +745,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="also write the sequence's GT trajectory (KITTI format)",
     )
     i.add_argument("--batch-size", type=int, default=32)
+    i.add_argument(
+        "--scan-chunks", type=int, default=1,
+        help="batches per device call (lax.scan dispatch amortization; "
+        "1 = per-call serving)",
+    )
     i.add_argument("--set", action="append")
     i.add_argument(
         "--serving-flags", action="store_true",

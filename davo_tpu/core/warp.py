@@ -30,12 +30,16 @@ from jax import lax
 
 from davo_tpu.core import geometry as geo
 
-# Production default; "take4" re-selects the legacy formulation
-# (equality + timing A/B in tools/dev/exp_warp_probe.py and the
-# exp_train_prof3 in-context arm). "banded" selects the gather-free
+# Production default: "take4" (four flat take_along_axis taps). The
+# (2,2,C)-block lax.gather variant won the ISOLATED micro-probe
+# (results_r4_warp_probe.json) but LOSES in the real train step —
+# 553.4 vs 458.3 ms/step at B=64 in the same window
+# (results_r4_train_prof3.json flow_level_block vs _take4) — the
+# in-context read wins per the r3 protocol (probe PASS/FAIL and
+# timings flip out of context). "banded" selects the gather-free
 # Pallas shift-accumulate kernel (kernels/bandwarp.py; band via
-# DAVO_WARP_BAND="rv,rh") — probe candidate, not yet the default.
-_DEFAULT_GATHER = os.environ.get("DAVO_WARP_GATHER", "block")
+# DAVO_WARP_BAND="rv,rh") — probe candidate, not the default.
+_DEFAULT_GATHER = os.environ.get("DAVO_WARP_GATHER", "take4")
 _BAND = tuple(
     int(t) for t in os.environ.get("DAVO_WARP_BAND", "4,16").split(",")
 )

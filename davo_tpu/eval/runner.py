@@ -30,6 +30,7 @@ def predict_sequence(
     frames: np.ndarray,
     seg: np.ndarray | None = None,
     batch_size: int = 32,
+    scan_chunks: int = 1,
 ) -> np.ndarray:
     """Predict all consecutive relative poses of a sequence.
 
@@ -37,23 +38,60 @@ def predict_sequence(
     target-cam points to source-cam points (the model convention);
     callers typically pass a jitted closure over params.
 
+    scan_chunks > 1 selects the dispatch-amortized path: apply_fn must
+    then be a `make_pose_apply_scan_fn` closure taking (K, B, ...)
+    stacks; batches are packed K per device call (tail padded by
+    repetition, trimmed on return).
+
     frames: (N, H, W, 3) float32. Returns (N-1, 4, 4) odometry
     increments rel[k] = T_{cam_k <- cam_{k+1}}^(-1)-style transforms
     such that poses[k+1] = poses[k] @ rel[k].
     """
-    rel_vecs = [
-        np.asarray(apply_fn(jnp.asarray(tgt), jnp.asarray(src), sg))[
-            : end - start
-        ]
-        for start, end, tgt, src, sg in iter_pair_batches(
-            frames, seg, batch_size
+    if scan_chunks > 1:
+        vecs = _predict_scan(
+            apply_fn, frames, seg, batch_size, scan_chunks
         )
-    ]
-    vecs = np.concatenate(rel_vecs, 0)  # (N-1, 6)
+    else:
+        rel_vecs = [
+            np.asarray(apply_fn(jnp.asarray(tgt), jnp.asarray(src), sg))[
+                : end - start
+            ]
+            for start, end, tgt, src, sg in iter_pair_batches(
+                frames, seg, batch_size
+            )
+        ]
+        vecs = np.concatenate(rel_vecs, 0)  # (N-1, 6)
 
     # vec maps target(k+1) -> source(k): that IS the increment matrix.
     rels = np.asarray(geo.pose_vec_to_mat(jnp.asarray(vecs)))
     return rels
+
+
+def _predict_scan(
+    apply_fn: Callable,
+    frames: np.ndarray,
+    seg: np.ndarray | None,
+    batch_size: int,
+    scan_chunks: int,
+) -> np.ndarray:
+    """Pack pair batches K-at-a-time into (K, B, ...) stacks for the
+    scan apply fn; same padding contract as the per-call path."""
+    n_pairs = len(frames) - 1
+    batches = list(iter_pair_batches(frames, seg, batch_size))
+    out = []
+    for i in range(0, len(batches), scan_chunks):
+        group = batches[i : i + scan_chunks]
+        while len(group) < scan_chunks:  # pad tail group: repeat last
+            group.append(group[-1])
+        tgt = jnp.asarray(np.stack([g[2] for g in group]))
+        src = jnp.asarray(np.stack([g[3] for g in group]))
+        sg = (
+            jnp.asarray(np.stack([g[4] for g in group]))
+            if group[0][4] is not None
+            else None
+        )
+        out.append(np.asarray(apply_fn(tgt, src, sg)).reshape(-1, 6))
+    return np.concatenate(out, 0)[:n_pairs]
 
 
 def iter_pair_batches(
@@ -140,8 +178,48 @@ def make_pose_apply_fn(
         )
         return out["poses"][:, 0]
 
-    if not compiler_options:
-        return fn
+    return fn if not compiler_options else _aot_wrap(fn, compiler_options)
+
+
+def make_pose_apply_scan_fn(
+    model, params, attention: str = "none", compiler_options=None
+) -> Callable:
+    """Dispatch-amortized pose inference: ONE device program runs K
+    batches via `lax.scan`.
+
+    Takes (K, B, H, W, 3) targets/sources (+ (K, B, H, W) seg) and
+    returns (K, B, 6) poses. Each per-call host round-trip (RPC
+    dispatch + result sync) is paid once per K batches instead of once
+    per batch — the r4 serving profile measured a ~2.8 ms/call
+    host+dispatch gap against 6.1 ms device time at B=128
+    (results_r4_serving_bites.json), so chunking is the production
+    mode for offline/throughput serving (`predict_sequence` packs the
+    chunks). Numerics are identical to the per-call path: the scan
+    body IS the same forward on the same (B, ...) slice.
+    """
+    use_seg = attention == "flow_seg"
+
+    @jax.jit
+    def fn(targets, sources, seg=None):
+        def body(_, xs):
+            if use_seg:
+                t, s, g = xs
+            else:
+                (t, s), g = xs, None
+            out = model.apply(params, t, s[:, None], seg=g, train=False)
+            return None, out["poses"][:, 0]
+
+        xs = (targets, sources, seg) if use_seg else (targets, sources)
+        _, poses = jax.lax.scan(body, None, xs)
+        return poses  # (K, B, 6)
+
+    return fn if not compiler_options else _aot_wrap(fn, compiler_options)
+
+
+def _aot_wrap(fn, compiler_options) -> Callable:
+    """AOT lower().compile() with per-(shape, dtype) executable cache —
+    TPU-only XLA options FATAL the client flag parser if passed via
+    XLA_FLAGS (CLAUDE.md), so they must ride compile()."""
     opts = dict(compiler_options)
     cache: dict = {}
 

@@ -55,8 +55,10 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(u_ref, v_ref, img_ref, out_ref, pad_ref, hsh_ref,
                 wv_ref, *, rv: int, rh: int, H: int, W: int, C: int):
-    xg = lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    yg = lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # Mosaic's tpu.iota is integer-only (f32 iota FATALs verification
+    # on chip — r4); build i32 grids and cast.
+    xg = lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    yg = lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
     # Band clamp on displacement, then frame clamp (matches
     # bilinear_sample's interpolation exactly inside the band).
     u = u_ref[0]
@@ -97,8 +99,10 @@ def _dhat(t):
 def _bwd_kernel(u_ref, v_ref, img_ref, g_ref, du_ref, dv_ref,
                 dimg_ref, pad_ref, hsh_ref, wv_ref, dwv_ref, dpad_ref,
                 *, rv: int, rh: int, H: int, W: int, C: int):
-    xg = lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    yg = lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    # Mosaic's tpu.iota is integer-only (f32 iota FATALs verification
+    # on chip — r4); build i32 grids and cast.
+    xg = lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(jnp.float32)
+    yg = lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(jnp.float32)
     u = u_ref[0]
     v = v_ref[0]
     ucp = jnp.clip(u - xg, -rh, rh) + xg

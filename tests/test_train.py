@@ -559,3 +559,57 @@ class TestEndToEndTiny:
         travel = np.linalg.norm(gt[-1, :3, 3])
         assert report["ate_full"] < 0.5 * travel
         assert report["snippet_ate_mean"] < 0.5
+
+
+class TestScanServing:
+    """Dispatch-amortized serving path (make_pose_apply_scan_fn +
+    predict_sequence(scan_chunks=K)) must equal the per-call path —
+    the scan body is the same forward, so any drift is a packing bug."""
+
+    def _params(self, cfg, seq, with_seg):
+        batch = {
+            "target": np.stack([seq.frame(1), seq.frame(2)]),
+            "sources": np.stack(
+                [seq.frame(0), seq.frame(1)]
+            )[:, None],
+        }
+        if with_seg:
+            batch["seg"] = np.stack(
+                [seq.seg(1), seq.seg(2)]
+            ).astype(np.int32)
+        from davo_tpu.train.loop import create_state
+
+        model, state, _ = create_state(
+            Config(model=cfg, train=TrainConfig(batch_size=2)),
+            jax.random.PRNGKey(0),
+            batch,
+        )
+        return model, state.params
+
+    @pytest.mark.parametrize("attention", ["none", "flow_seg"])
+    def test_scan_equals_per_call(self, seq, attention):
+        from davo_tpu.eval.runner import make_pose_apply_scan_fn
+
+        import dataclasses
+
+        cfg = dataclasses.replace(TINY, attention=attention)
+        model, params = self._params(cfg, seq, attention == "flow_seg")
+        frames = np.stack([seq.frame(i) for i in range(seq.n_frames)])
+        segs = (
+            np.stack(
+                [seq.seg(i) for i in range(seq.n_frames)]
+            ).astype(np.int32)
+            if attention == "flow_seg"
+            else None
+        )
+
+        per_call = make_pose_apply_fn(model, params, attention)
+        rels = predict_sequence(per_call, frames, seg=segs, batch_size=4)
+
+        scan = make_pose_apply_scan_fn(model, params, attention)
+        # K=2 with 9 pairs -> 3 batches -> padded tail group: exercises
+        # both the K-grid padding and the in-batch padding trim.
+        rels_scan = predict_sequence(
+            scan, frames, seg=segs, batch_size=4, scan_chunks=2
+        )
+        np.testing.assert_allclose(rels_scan, rels, rtol=0, atol=1e-5)
