@@ -50,6 +50,14 @@ class ModelConfig:
     # quality vs ~2x flow compute); flag-gated pending the TPU
     # ablation (exp_attention_ablation --cue flow_fb).
     attention_cue: str = "flow"
+    # Evaluate the channel-starved FIRST stride-2 convs (posenet enc0:
+    # 9ch 7x7; flownet feat0a: 3ch 3x3) through the exact
+    # space-to-depth rewrite (models/common.conv_same_stride2_s2d) —
+    # same params, same math, 4x the MXU contraction depth. The r4
+    # profile puts the largest single device op at posenet enc0
+    # (700 us/call, results_r4_serving_bites.json); flag-gated
+    # pending the on-chip equality + timing probe (exp_s2d_conv.py).
+    s2d_first_conv: bool = False
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
     # Fused-kernel compute mode, independent of the XLA path's

@@ -28,6 +28,16 @@ rate + per-tap relayout copies). Mosaic rejects every bf16 variant
 strided/s2d family ("infer-vector-layout: unsupported shape cast").
 All fuse_* flags therefore stay default-off: capability demonstrated
 and equality-proven on chip, XLA remains the production path.
+
+r4 amendment (results_r4_bf16_probe.json): with the fixed probe
+harness, bf16 MXU dots DO verify and match inside Mosaic kernels when
+the accumulator stays f32 (only preferred_element_type=bf16 is
+rejected), including odd-offset slices — the r3 "f32-only Mosaic"
+blanket was partly a harness bug. The family nonetheless STAYS CLOSED
+for production: the measured in-context loss (2.2-4.4x) also includes
+per-tap relayouts and lost cross-op fusion, and the sunk-cost ledger
+(three rounds, ~13 % of the package) caps further investment absent a
+toolchain change.
 """
 
 from __future__ import annotations

@@ -186,7 +186,10 @@ class FeaturePyramid(nn.Module):
                 return [f.astype(dt) for f in pyr]
         pyr = []
         for i, ch in enumerate(chans):
-            x = ConvBlock(ch, 3, 2, dt, name=f"feat{i}a")(x)
+            x = ConvBlock(
+                ch, 3, 2, dt, name=f"feat{i}a",
+                s2d=(i == 0 and self.cfg.s2d_first_conv),
+            )(x)
             x = ConvBlock(ch, 3, 1, dt, name=f"feat{i}b")(x)
             pyr.append(x)
         return pyr  # fine (/2) -> coarse

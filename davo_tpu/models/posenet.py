@@ -68,7 +68,8 @@ class PoseEncoder(nn.Module):
                 start = n
         for i in range(start, len(ks)):
             x = ConvBlock(
-                self.cfg.pose_channels[i], ks[i], 2, dt, name=f"enc{i}"
+                self.cfg.pose_channels[i], ks[i], 2, dt, name=f"enc{i}",
+                s2d=(i == 0 and self.cfg.s2d_first_conv),
             )(x)
         return x
 

@@ -900,3 +900,42 @@ class TestDavoModel:
         out = model.apply(params, batch["target"], batch["sources"])
         assert out["poses"].dtype == jnp.float32
         assert out["disp"][0].dtype == jnp.float32
+
+
+class TestS2dFirstConv:
+    """conv_same_stride2_s2d is an algebraic rewrite of the SAME
+    stride-2 conv: same params, bit-comparable output (f32)."""
+
+    @pytest.mark.parametrize("k,C,O", [(3, 3, 16), (5, 9, 16), (7, 9, 16)])
+    def test_convblock_s2d_equality(self, k, C, O):
+        from davo_tpu.models.common import ConvBlock
+
+        x = jnp.asarray(
+            np.random.default_rng(0).normal(size=(2, 24, 32, C)),
+            jnp.float32,
+        )
+        plain = ConvBlock(O, k, 2, jnp.float32)
+        params = plain.init(jax.random.PRNGKey(1), x)
+        y0 = plain.apply(params, x)
+        y1 = ConvBlock(O, k, 2, jnp.float32, s2d=True).apply(params, x)
+        assert y1.shape == y0.shape
+        np.testing.assert_allclose(y1, y0, atol=1e-5, rtol=1e-5)
+
+    def test_full_model_s2d_equality(self):
+        import dataclasses
+
+        from davo_tpu.models import presets
+        from davo_tpu.models.davo import DavoModel
+
+        base = presets.get("tiny").model
+        cfg0 = dataclasses.replace(base, compute_dtype="float32")
+        cfg1 = dataclasses.replace(cfg0, s2d_first_conv=True)
+        rng = np.random.default_rng(2)
+        tgt = jnp.asarray(rng.uniform(size=(2, 48, 64, 3)), jnp.float32)
+        src = jnp.asarray(rng.uniform(size=(2, 1, 48, 64, 3)), jnp.float32)
+        seg = jnp.asarray(rng.integers(0, 19, (2, 48, 64)), jnp.int32)
+        m0, m1 = DavoModel(cfg0), DavoModel(cfg1)
+        params = m0.init(jax.random.PRNGKey(0), tgt, src, seg=seg)
+        p0 = m0.apply(params, tgt, src, seg=seg, train=False)["poses"]
+        p1 = m1.apply(params, tgt, src, seg=seg, train=False)["poses"]
+        np.testing.assert_allclose(p1, p0, atol=1e-5, rtol=1e-5)
