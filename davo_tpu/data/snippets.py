@@ -338,3 +338,75 @@ class MultiSourceDataset:
                 produced += 1
                 if steps is not None and produced >= steps:
                     return
+
+
+class ProceduralWorldsDataset:
+    """Infinite-worlds snippet batches from a procedural generator.
+
+    The synthetic data engine renders worlds from a seed, so the
+    training distribution need never repeat: a pool of live worlds is
+    sampled for snippets, and each world is RETIRED after a quota of
+    draws and replaced by a freshly-generated one (monotonic seed
+    stream). Memorizing textures is impossible — every gradient step
+    eventually sees unseen worlds — which separates "can't read
+    rotation from images" from "memorized the 16-world training set"
+    (the r4 generalization question, R4_RESULTS.md).
+
+    world_factory(seed) -> a frame source (SyntheticSequence,
+    DriveSequence, ...). Interface matches MultiSourceDataset:
+    `.batches(steps=N)` yields stacked snippet dicts.
+    """
+
+    def __init__(self, world_factory, batch_size=4, seq_length=3,
+                 with_seg=False, with_gt=False, augment=False, seed=0,
+                 pool_size=8, draws_per_world=None):
+        self.factory = world_factory
+        self.batch_size = batch_size
+        self.seq_length = seq_length
+        self.with_seg = with_seg
+        self.with_gt = with_gt
+        self.augment = augment
+        self.rng = np.random.default_rng(seed)
+        self.pool_size = pool_size
+        self.draws_per_world = draws_per_world
+        self._next_seed = seed * 100003 + 1
+        self._pool: list[SnippetDataset] = []
+        self._draws: list[int] = []
+
+    def _fresh(self) -> SnippetDataset:
+        s = self._next_seed
+        self._next_seed += 1
+        return SnippetDataset(
+            self.factory(s), batch_size=1, seq_length=self.seq_length,
+            with_seg=self.with_seg, with_gt=self.with_gt,
+            augment=self.augment, seed=s,
+        )
+
+    def _quota(self, ds: SnippetDataset) -> int:
+        # Default: one pass over the world's snippets, then retire.
+        return self.draws_per_world or max(len(ds.indices), 1)
+
+    def batches(self, steps=None, shuffle=True):
+        del shuffle  # always shuffled — the pool IS the shuffle
+        while len(self._pool) < self.pool_size:
+            self._pool.append(self._fresh())
+            self._draws.append(0)
+        produced = 0
+        while steps is None or produced < steps:
+            items = []
+            for _ in range(self.batch_size):
+                w = int(self.rng.integers(0, len(self._pool)))
+                ds = self._pool[w]
+                t = ds.indices[
+                    int(self.rng.integers(0, len(ds.indices)))
+                ]
+                items.append(ds.snippet(t))
+                self._draws[w] += 1
+                if self._draws[w] >= self._quota(ds):
+                    self._pool[w] = self._fresh()
+                    self._draws[w] = 0
+            yield {
+                key: np.stack([it[key] for it in items], 0)
+                for key in items[0]
+            }
+            produced += 1

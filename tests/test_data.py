@@ -774,3 +774,44 @@ class TestPrefetch:
         assert 0.0 <= stats.host_fraction < 1.0
         s = stats.summary()
         assert set(s) == {"batches", "host_s", "consumer_s", "host_fraction"}
+
+
+class TestProceduralWorlds:
+    def test_infinite_batches_and_world_turnover(self):
+        from davo_tpu.data.snippets import ProceduralWorldsDataset
+
+        made = []
+
+        def factory(seed):
+            made.append(seed)
+            return SyntheticSequence(
+                n_frames=5, height=16, width=16, seed=seed
+            )
+
+        ds = ProceduralWorldsDataset(
+            factory, batch_size=4, with_gt=True, seed=1, pool_size=2,
+            draws_per_world=3,
+        )
+        batches = list(ds.batches(steps=6))
+        assert len(batches) == 6
+        assert batches[0]["target"].shape == (4, 16, 16, 3)
+        assert batches[0]["gt_pose"].shape == (4, 2, 4, 4)
+        # 24 draws at 3 draws/world retire ~8 worlds beyond the pool's 2.
+        assert len(made) > 2, "worlds never turned over"
+        assert len(set(made)) == len(made), "seed stream repeated"
+
+    def test_deterministic_with_seed(self):
+        from davo_tpu.data.snippets import ProceduralWorldsDataset
+
+        def factory(seed):
+            return SyntheticSequence(
+                n_frames=5, height=16, width=16, seed=seed
+            )
+
+        a = next(ProceduralWorldsDataset(
+            factory, batch_size=2, seed=9, pool_size=2
+        ).batches(steps=1))
+        b = next(ProceduralWorldsDataset(
+            factory, batch_size=2, seed=9, pool_size=2
+        ).batches(steps=1))
+        np.testing.assert_array_equal(a["target"], b["target"])

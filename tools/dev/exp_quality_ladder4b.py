@@ -62,7 +62,7 @@ OUT = (
 
 
 def run_arm(preset="tiny", steps=2500, batch=16, n_worlds=16,
-            n_frames=24):
+            n_frames=24, infinite=False):
     base = presets.get(preset)
     H, W = base.model.img_height, base.model.img_width
     train_worlds = [
@@ -87,10 +87,27 @@ def run_arm(preset="tiny", steps=2500, batch=16, n_worlds=16,
             log_every=max(steps // 8, 1),
         ),
     )
-    ds = MultiSourceDataset(
-        train_worlds, batch_size=batch, with_seg=True, with_gt=True,
-        augment="color", seed=0,
-    )
+    if infinite:
+        # Never-repeating world stream (data/snippets.py
+        # ProceduralWorldsDataset): memorization impossible — the
+        # clean test of "rotation is readable but not generalized
+        # from a finite world set". seeds start above the eval
+        # world's (99) and the fixed train range.
+        from davo_tpu.data.snippets import ProceduralWorldsDataset
+
+        ds = ProceduralWorldsDataset(
+            lambda s: SyntheticSequence(
+                n_frames=n_frames, height=H, width=W,
+                seed=1000 + s % 1000003, **WANDER_KW
+            ),
+            batch_size=batch, with_seg=True, with_gt=True,
+            augment="color", seed=0, pool_size=16,
+        )
+    else:
+        ds = MultiSourceDataset(
+            train_worlds, batch_size=batch, with_seg=True, with_gt=True,
+            augment="color", seed=0,
+        )
     from davo_tpu.train.loop import fit
 
     t0 = time.time()
@@ -199,6 +216,9 @@ def main():
     # converged at 2500); compose with the data axis.
     arm("worlds128_f96_long",
         lambda: run_arm(n_worlds=128, n_frames=96, steps=6000))
+    # The asymptote of the data axis: a never-repeating world stream.
+    arm("infinite", lambda: run_arm(infinite=True))
+    arm("infinite_long", lambda: run_arm(infinite=True, steps=6000))
     print("ladder4b ->", OUT, flush=True)
 
 

@@ -57,7 +57,7 @@ EVAL_FRAMES = 1300
 STEPS = 2500
 
 
-def run_arm(sup_weight, depth_norm=False):
+def run_arm(sup_weight, depth_norm=False, masking="border"):
     base = presets.get("tiny")
     H, W = base.model.img_height, base.model.img_width
     train_worlds = [
@@ -78,7 +78,7 @@ def run_arm(sup_weight, depth_norm=False):
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=STEPS, pose_supervision_weight=sup_weight,
             rot_weight=10.0, smooth_weight=0.1,
-            photo_masking="border", depth_warmup_steps=250,
+            photo_masking=masking, depth_warmup_steps=250,
             depth_norm=depth_norm, log_every=max(STEPS // 8, 1),
         ),
     )
@@ -174,6 +174,12 @@ def main():
     arm("sup", lambda: run_arm(100.0))
     arm("unsup", lambda: run_arm(0.0))
     arm("unsup_dn", lambda: run_arm(0.0, depth_norm=True))
+    # VERDICT r3 #7 "compose the validated pieces": occlusion-aware
+    # per-pixel-min masking (automin converges on chip at wu=0,
+    # R2_RESULTS ladder #6) + depth_norm, on top of the geo=0.5
+    # default.
+    arm("unsup_automin_dn",
+        lambda: run_arm(0.0, depth_norm=True, masking="automin"))
     if "sup" in res and "unsup" in res:
         ratio = res["unsup"]["r_err_deg_per_100m"] / max(
             res["sup"]["r_err_deg_per_100m"], 1e-9
