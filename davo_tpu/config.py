@@ -58,6 +58,17 @@ class ModelConfig:
     # (700 us/call, results_r4_serving_bites.json); flag-gated
     # pending the on-chip equality + timing probe (exp_s2d_conv.py).
     s2d_first_conv: bool = False
+    # Pose head: "conv" = the reference's learned regression head;
+    # "geo_hybrid" = dense GN solve of pose from the finest pyramid
+    # flow + DispNet depth (models/geopose.py), with the conv head as
+    # a learned residual. Motivation: held-out rotation correlation ~0
+    # across three world classes with the pure conv head
+    # (R4_RESULTS.md) — geometry generalizes by construction.
+    # geo_hybrid requires attention != "none" and K passed to apply.
+    pose_head: str = "conv"
+    geo_pose_iters: int = 4
+    geo_pose_damping: float = 1e-4
+    geo_pose_robust: float = 2.0   # Huber IRLS delta, level pixels
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
     # Fused-kernel compute mode, independent of the XLA path's
@@ -150,6 +161,11 @@ class TrainConfig:
     batch_size: int = 4
     learning_rate: float = 2e-4
     beta1: float = 0.9
+    # Global-norm gradient clip (0 = off, the reference's behavior).
+    # The geo_hybrid pose head can spike gradients through the 6x6
+    # solve while the flow net is still random; clip ~10 tames the
+    # first few hundred steps without touching converged dynamics.
+    grad_clip_norm: float = 0.0
     # "constant" mirrors the reference's fixed-lr Adam; "cosine" decays
     # to lr/100 over max_steps (tighter convergence on short runs).
     lr_schedule: str = "constant"

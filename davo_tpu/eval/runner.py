@@ -157,7 +157,8 @@ def evaluate_sequence(
 
 
 def make_pose_apply_fn(
-    model, params, attention: str = "none", compiler_options=None
+    model, params, attention: str = "none", compiler_options=None,
+    K=None,
 ) -> Callable:
     """Jitted (targets, sources, seg) -> (B, 6) pose closure.
 
@@ -165,7 +166,10 @@ def make_pose_apply_fn(
     scoped-vmem raise hardware-validated fused kernels need —
     BENCH_FLAGS.json / R3_RESULTS.md), applied via AOT
     lower().compile() and cached per input-shape signature.
+    K: (3, 3) sequence intrinsics — required by pose_head="geo_hybrid"
+    models (closed over as a constant; one camera per sequence).
     """
+    Kc = None if K is None else jnp.asarray(K, jnp.float32)
 
     @jax.jit
     def fn(targets, sources, seg=None):
@@ -175,6 +179,7 @@ def make_pose_apply_fn(
             sources[:, None],
             seg=seg if attention == "flow_seg" else None,
             train=False,
+            K=Kc,
         )
         return out["poses"][:, 0]
 
@@ -182,7 +187,8 @@ def make_pose_apply_fn(
 
 
 def make_pose_apply_scan_fn(
-    model, params, attention: str = "none", compiler_options=None
+    model, params, attention: str = "none", compiler_options=None,
+    K=None,
 ) -> Callable:
     """Dispatch-amortized pose inference: ONE device program runs K
     batches via `lax.scan`.
@@ -198,6 +204,7 @@ def make_pose_apply_scan_fn(
     body IS the same forward on the same (B, ...) slice.
     """
     use_seg = attention == "flow_seg"
+    Kc = None if K is None else jnp.asarray(K, jnp.float32)
 
     @jax.jit
     def fn(targets, sources, seg=None):
@@ -206,7 +213,9 @@ def make_pose_apply_scan_fn(
                 t, s, g = xs
             else:
                 (t, s), g = xs, None
-            out = model.apply(params, t, s[:, None], seg=g, train=False)
+            out = model.apply(
+                params, t, s[:, None], seg=g, train=False, K=Kc
+            )
             return None, out["poses"][:, 0]
 
         xs = (targets, sources, seg) if use_seg else (targets, sources)

@@ -50,6 +50,7 @@ class DavoModel(nn.Module):
         seg: jnp.ndarray | None = None,
         train: bool = True,
         source_disp: bool = False,
+        K: jnp.ndarray | None = None,
     ) -> dict[str, Any]:
         """target: (B, H, W, 3); sources: (B, S, H, W, 3);
         seg: (B, H, W) int labels (required for attention="flow_seg").
@@ -57,6 +58,9 @@ class DavoModel(nn.Module):
         batch-folded DispNet pass over target+sources) — required by
         the geometry-consistency loss (TrainConfig
         geo_consistency_weight > 0).
+        K: (3, 3) or (B, 3, 3) intrinsics — required when
+        cfg.pose_head == "geo_hybrid" (the dense GN solve needs the
+        camera; models/geopose.py).
 
         Returns dict with:
           poses:      (B, S, 6) target->source pose vectors
@@ -154,10 +158,8 @@ class DavoModel(nn.Module):
                     region_weight_fn = (
                         lambda hw, w=weights: region_weight_map(w, seg_oh, hw)
                     )
-        pose_flat = self.posenet(
-            rep_tgt, flat_src, extra=extra, region_weight_fn=region_weight_fn
-        )  # (S*B, 6)
-        out["poses"] = jnp.moveaxis(pose_flat.reshape(S, B, 6), 0, 1)
+        need_geo = self.cfg.pose_head == "geo_hybrid"
+        disps_t = None
         if train:
             if source_disp:
                 # One folded pass: rows [0, B) = target, then source
@@ -169,4 +171,50 @@ class DavoModel(nn.Module):
                 out["disp_src"] = [d[B:] for d in disps_all]
             else:
                 out["disp"] = self.dispnet(target)
+            disps_t = out["disp"]
+        elif need_geo:
+            disps_t = self.dispnet(target)
+
+        pose_flat = self.posenet(
+            rep_tgt, flat_src, extra=extra, region_weight_fn=region_weight_fn
+        )  # (S*B, 6)
+        if need_geo:
+            # Geometry-grounded pose: dense GN on the finest pyramid
+            # flow + DispNet depth (models/geopose.py). The conv head
+            # above becomes a learned RESIDUAL on the geometric
+            # estimate (it initializes near zero via pose_scale), so
+            # rotation is read from the motion field by construction
+            # instead of regressed from texture features — the r4
+            # held-out generalization fix (R4_RESULTS.md).
+            if self.cfg.attention == "none":
+                raise ValueError(
+                    "pose_head='geo_hybrid' needs the flow net "
+                    "(attention != 'none')"
+                )
+            if K is None:
+                raise ValueError("pose_head='geo_hybrid' requires K")
+            from davo_tpu.models.dispnet import disp_to_depth
+            from davo_tpu.models.geopose import pose_from_flow_pyramid
+
+            depth_t = disp_to_depth(disps_t[0][..., 0].astype(jnp.float32))
+            depth_rep = jnp.tile(depth_t, (S, 1, 1))
+            Kr = (
+                jnp.tile(K, (S, 1, 1))
+                if K is not None and K.ndim == 3
+                else K
+            )
+            geo_vec = pose_from_flow_pyramid(
+                pyr[0].astype(jnp.float32),
+                depth_rep,
+                Kr,
+                (H, W),
+                iters=self.cfg.geo_pose_iters,
+                damping=self.cfg.geo_pose_damping,
+                robust_delta=self.cfg.geo_pose_robust,
+            )
+            out["pose_geo"] = jnp.moveaxis(
+                geo_vec.reshape(S, B, 6), 0, 1
+            )
+            pose_flat = pose_flat + geo_vec.astype(pose_flat.dtype)
+        out["poses"] = jnp.moveaxis(pose_flat.reshape(S, B, 6), 0, 1)
         return out

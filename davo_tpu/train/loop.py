@@ -37,7 +37,12 @@ def _make_tx(cfg: Config) -> optax.GradientTransformation:
         )
     else:
         lr = cfg.train.learning_rate
-    return optax.adam(lr, b1=cfg.train.beta1)
+    tx = optax.adam(lr, b1=cfg.train.beta1)
+    if cfg.train.grad_clip_norm > 0.0:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.train.grad_clip_norm), tx
+        )
+    return tx
 
 
 def create_state(
@@ -53,6 +58,11 @@ def create_state(
             if cfg.model.attention == "flow_seg" and "seg" in sample_batch
             else None
         ),
+        K=(
+            jnp.asarray(sample_batch["K"])
+            if cfg.model.pose_head == "geo_hybrid" and "K" in sample_batch
+            else None
+        ),
     )
     tx = _make_tx(cfg)
     state = TrainState(
@@ -66,10 +76,11 @@ def make_train_step(
 ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics)."""
 
-    def forward(params, target, sources, seg):
+    def forward(params, target, sources, seg, K):
         return model.apply(
             params, target, sources, seg=seg, train=True,
             source_disp=cfg.train.geo_consistency_weight > 0.0,
+            K=K,
         )
 
     if cfg.train.remat:
@@ -85,6 +96,9 @@ def make_train_step(
             batch["target"],
             batch["sources"],
             batch.get("seg") if cfg.model.attention == "flow_seg" else None,
+            # geo_hybrid reads the camera; conv head ignores it. The
+            # batch K is (B, 3, 3) (data/snippets.py).
+            batch.get("K") if cfg.model.pose_head == "geo_hybrid" else None,
         )
         return total_loss(outputs, batch, cfg.model, cfg.train, step=step_i)
 

@@ -1,8 +1,10 @@
 #!/bin/bash
 # Round-4 queue tail v3 (after exp_quality_ladder5): fast probes first
 # (s2d first-conv A/B; banded-warp rerun with the int32-iota fix),
-# then the long ladders, then the bench re-warm. Same protocol:
-# serial, hang-protected, resumable, ONE TPU process (CLAUDE.md).
+# bench warm, then the geometry-grounded pose-head ladder (the r4
+# structural candidate), then whatever data-budget arms still fit.
+# Same protocol: serial, hang-protected, resumable, ONE TPU process
+# (CLAUDE.md).
 #
 # usage: tools/dev/r4_queue5.sh [start_index]
 set -u
@@ -12,19 +14,25 @@ LOGDIR=/tmp/r4_queue5
 mkdir -p "$LOGDIR"
 
 jobs=(
-  "tools/dev/exp_s2d_conv.py|3600|5"
-  "tools/dev/exp_train_prof3.py|5400|3"
+  "tools/dev/exp_s2d_conv.py|2700|3"
+  "tools/dev/exp_train_prof3.py|3600|3"
   "bench.py|1800|3"
-  "tools/dev/exp_quality_ladder4b.py|21600|3"
-  "tools/dev/exp_unsup_wander.py|12000|3"
-  "tools/dev/exp_warp_probe2.py|3600|3"
-  "bench.py|1800|3"
+  "tools/dev/exp_quality_ladder6.py|7200|3"
+  "tools/dev/exp_quality_ladder4b.py|7200|3"
+  "tools/dev/exp_unsup_wander.py|7200|3"
 )
 
 i=-1
 for spec in "${jobs[@]}"; do
   i=$((i + 1))
   [ "$i" -lt "$START" ] && continue
+  # Hard stop: no NEW job after 06:20 UTC — the driver's own bench
+  # run must find the chip free at round end.
+  now=$(date -u +%H%M)
+  if [ "$now" -ge 0620 ] && [ "$now" -lt 2000 ]; then
+    echo "=== budget stop before job $i ($now UTC) ===" | tee -a "$LOGDIR/queue.log"
+    break
+  fi
   IFS='|' read -r cmd tmo tries <<< "$spec"
   name=$(basename "$(echo "$cmd" | awk '{print $1}')" .py)
   log="$LOGDIR/${i}_${name}.log"
