@@ -55,8 +55,11 @@ class ModelConfig:
     # space-to-depth rewrite (models/common.conv_same_stride2_s2d) —
     # same params, same math, 4x the MXU contraction depth. The r4
     # profile puts the largest single device op at posenet enc0
-    # (700 us/call, results_r4_serving_bites.json); flag-gated
-    # pending the on-chip equality + timing probe (exp_s2d_conv.py).
+    # (700 us/call, results_r4_serving_bites.json). CLOSED NEGATIVE
+    # on chip (results_r4_s2d.json): equality holds but the rewrite
+    # measures 0.74-0.81x of XLA's native lowering at B=128/256 —
+    # the pad/reshape/layout costs outweigh the MXU gain on this
+    # stack. Stays available for other shapes; default off.
     s2d_first_conv: bool = False
     # Pose head: "conv" = the reference's learned regression head;
     # "geo_hybrid" = dense GN solve of pose from the finest pyramid
