@@ -152,6 +152,12 @@ def main():
             print("sup: reused ladder4 wander_tiny", flush=True)
 
     def arm(name, fn):
+        ddl = os.environ.get("DAVO_ARM_DEADLINE_UTC", "0615")
+        if time.strftime("%H%M", time.gmtime()) >= ddl:
+            print(f"deadline {ddl}Z passed; skipping arm {name} "
+                  "(clean exit keeps the chip claim healthy)",
+                  flush=True)
+            return
         if name in res:
             print(f"{name}: done previously "
                   f"(t_err {res[name]['t_err_pct']:.2f})", flush=True)
