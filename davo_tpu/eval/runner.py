@@ -169,7 +169,9 @@ def make_pose_apply_fn(
     K: (3, 3) sequence intrinsics — required by pose_head="geo_hybrid"
     models (closed over as a constant; one camera per sequence).
     """
-    Kc = None if K is None else jnp.asarray(K, jnp.float32)
+    # Pass K only when set: stubs / legacy model objects need not grow
+    # the kwarg, and the conv head ignores it anyway.
+    kw = {} if K is None else {"K": jnp.asarray(K, jnp.float32)}
 
     @jax.jit
     def fn(targets, sources, seg=None):
@@ -179,7 +181,7 @@ def make_pose_apply_fn(
             sources[:, None],
             seg=seg if attention == "flow_seg" else None,
             train=False,
-            K=Kc,
+            **kw,
         )
         return out["poses"][:, 0]
 
@@ -204,7 +206,7 @@ def make_pose_apply_scan_fn(
     body IS the same forward on the same (B, ...) slice.
     """
     use_seg = attention == "flow_seg"
-    Kc = None if K is None else jnp.asarray(K, jnp.float32)
+    kw = {} if K is None else {"K": jnp.asarray(K, jnp.float32)}
 
     @jax.jit
     def fn(targets, sources, seg=None):
@@ -214,7 +216,7 @@ def make_pose_apply_scan_fn(
             else:
                 (t, s), g = xs, None
             out = model.apply(
-                params, t, s[:, None], seg=g, train=False, K=Kc
+                params, t, s[:, None], seg=g, train=False, **kw
             )
             return None, out["poses"][:, 0]
 
