@@ -215,6 +215,11 @@ def main():
             flush=True,
         )
 
+    # r5 order: the never-repeating stream FIRST — it is the decisive
+    # arm for the memorization-vs-readability hypothesis (VERDICT r4
+    # missing #2); the finite data-axis arms refine the curve after.
+    arm("infinite", lambda: run_arm(infinite=True))
+    arm("infinite_long", lambda: run_arm(infinite=True, steps=6000))
     arm("worlds128", lambda: run_arm(n_worlds=128))
     arm("frames96", lambda: run_arm(n_frames=96))
     arm("worlds128_f96", lambda: run_arm(n_worlds=128, n_frames=96))
@@ -222,9 +227,6 @@ def main():
     # converged at 2500); compose with the data axis.
     arm("worlds128_f96_long",
         lambda: run_arm(n_worlds=128, n_frames=96, steps=6000))
-    # The asymptote of the data axis: a never-repeating world stream.
-    arm("infinite", lambda: run_arm(infinite=True))
-    arm("infinite_long", lambda: run_arm(infinite=True, steps=6000))
     print("ladder4b ->", OUT, flush=True)
 
 
