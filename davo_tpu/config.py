@@ -64,14 +64,22 @@ class ModelConfig:
     # Pose head: "conv" = the reference's learned regression head;
     # "geo_hybrid" = dense GN solve of pose from the finest pyramid
     # flow + DispNet depth (models/geopose.py), with the conv head as
-    # a learned residual. Motivation: held-out rotation correlation ~0
-    # across three world classes with the pure conv head
-    # (R4_RESULTS.md) — geometry generalizes by construction.
+    # a learned residual. CANDIDATE, not validated: its first chip
+    # arms lost to the conv head (results_r4_quality_geo.json, rot
+    # corr ~0); the r5 GT-flow oracle shows the solve itself is exact
+    # at these defaults (results_r5_geo_oracle.json), leaving
+    # predicted-flow quality as the open bottleneck.
     # geo_hybrid requires attention != "none" and K passed to apply.
     pose_head: str = "conv"
-    geo_pose_iters: int = 4
+    # Solver defaults are oracle-validated on GT flow (drive + wander
+    # eval worlds, tests/test_geopose.py): iters=6 with step_clip=0.5
+    # recovers every pair to <0.05 deg; unclipped GN DIVERGES on a few
+    # % of drive pairs (overshoot, max 9 deg) regardless of damping —
+    # the r4 defaults (iters=4, no clip) shipped that failure mode.
+    geo_pose_iters: int = 6
     geo_pose_damping: float = 1e-4
     geo_pose_robust: float = 2.0   # Huber IRLS delta, level pixels
+    geo_pose_step_clip: float = 0.5  # per-iteration trust region (6-vec norm)
     pose_scale: float = 0.01     # output scaling, reference convention
     compute_dtype: str = "bfloat16"  # params stay f32; compute in bf16 (MXU)
     # Fused-kernel compute mode, independent of the XLA path's

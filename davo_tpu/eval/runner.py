@@ -78,6 +78,13 @@ def _predict_scan(
     scan apply fn; same padding contract as the per-call path."""
     n_pairs = len(frames) - 1
     batches = list(iter_pair_batches(frames, seg, batch_size))
+    # The single [:n_pairs] trim at the end is only correct because
+    # iter_pair_batches pads NOTHING but the final batch (ADVICE r4
+    # #4) — pin that contract here so a padding change fails loudly
+    # instead of silently corrupting trajectories.
+    assert all(
+        b[1] - b[0] == batch_size for b in batches[:-1]
+    ), "padding contract: only the final pair batch may be ragged"
     out = []
     for i in range(0, len(batches), scan_chunks):
         group = batches[i : i + scan_chunks]

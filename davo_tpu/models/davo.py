@@ -182,10 +182,12 @@ class DavoModel(nn.Module):
             # Geometry-grounded pose: dense GN on the finest pyramid
             # flow + DispNet depth (models/geopose.py). The conv head
             # above becomes a learned RESIDUAL on the geometric
-            # estimate (it initializes near zero via pose_scale), so
-            # rotation is read from the motion field by construction
-            # instead of regressed from texture features — the r4
-            # held-out generalization fix (R4_RESULTS.md).
+            # estimate (it initializes near zero via pose_scale).
+            # CANDIDATE, not validated: the first chip arms lost to
+            # the conv head (results_r4_quality_geo.json, rot corr
+            # ~0); the r5 oracle proves the solve exact on GT flow at
+            # the (step-clipped) defaults, so predicted-flow quality
+            # is the open bottleneck (flow_supervision_weight).
             if self.cfg.attention == "none":
                 raise ValueError(
                     "pose_head='geo_hybrid' needs the flow net "
@@ -211,6 +213,7 @@ class DavoModel(nn.Module):
                 iters=self.cfg.geo_pose_iters,
                 damping=self.cfg.geo_pose_damping,
                 robust_delta=self.cfg.geo_pose_robust,
+                step_clip=self.cfg.geo_pose_step_clip,
             )
             out["pose_geo"] = jnp.moveaxis(
                 geo_vec.reshape(S, B, 6), 0, 1

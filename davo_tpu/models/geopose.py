@@ -7,7 +7,13 @@ worlds while the overfit micro-test reaches 0.96, R4_RESULTS.md): the
 head memorizes textures instead of reading the motion field. Rotation
 is, however, a GEOMETRIC functional of the flow field — depth enters
 only through translation — so solving for the pose that best explains
-the predicted flow generalizes by construction.
+the predicted flow CAN generalize across textures. STATUS: candidate,
+not validated — the first chip arms LOST to the conv head (rot corr
+~0, t_err 26.1 vs 22.6 %, results_r4_quality_geo.json). The r5
+GT-flow oracle (results_r5_geo_oracle.json) splits the blame: the
+solve itself is exact on GT flow once step-clipped (see
+`pose_from_flow`), so the open bottleneck is PREDICTED-flow quality —
+attacked via flow supervision (TrainConfig.flow_supervision_weight).
 
 `pose_from_flow` is a differentiable dense Gauss-Newton solve of
 
@@ -61,6 +67,7 @@ def pose_from_flow(
     damping: float = 1e-3,
     min_depth: float = 0.1,
     robust_delta: float = 0.0,
+    step_clip: float = 0.0,
 ) -> jnp.ndarray:
     """Dense GN solve for the target->source pose explaining `flow`.
 
@@ -69,6 +76,12 @@ def pose_from_flow(
     K:      (3, 3) or (B, 3, 3) intrinsics AT flow resolution
     weight: optional (B, H, W) per-pixel confidence (>= 0); in-frame
             validity of x + u is always applied on top
+    step_clip: >0 caps each GN update's 6-vector norm (trust region).
+            Measured (results_r5_geo_oracle.json): on drive worlds a
+            few % of GT-flow pairs DIVERGE under unclipped GN from
+            identity (overshoot; max err 9 deg at iters=4-16) and only
+            re-converge by ~20 iterations; with step_clip=0.5 every
+            pair is exact by 6 iterations (max 0.014 deg). 0 = off.
     Returns (B, 6) pose vec [t, euler] in the model convention.
     """
     B, H, W, _ = flow.shape
@@ -141,6 +154,11 @@ def pose_from_flow(
         delta = -jnp.linalg.solve(
             Hm + lam * jnp.eye(6, dtype=f32), g[..., None]
         )[..., 0]  # (B, 6) = [dt, dw]
+        if step_clip > 0.0:
+            nrm = jnp.linalg.norm(delta, axis=-1, keepdims=True)
+            delta = delta * jnp.minimum(
+                1.0, step_clip / jnp.maximum(nrm, 1e-12)
+            )
 
         Rd = geo.so3_exp(delta[:, 3:])
         R = jnp.einsum("bij,bjk->bik", Rd, R)
@@ -158,6 +176,7 @@ def pose_from_flow_pyramid(
     iters: int = 3,
     damping: float = 1e-3,
     robust_delta: float = 0.0,
+    step_clip: float = 0.0,
 ) -> jnp.ndarray:
     """Solve at a pyramid level's own resolution.
 
@@ -168,6 +187,12 @@ def pose_from_flow_pyramid(
     """
     B, h, wd, _ = flow_level.shape
     H, W = full_hw
+    # The strided depth sample and the diagonal K rescale below are
+    # only aligned when the stride is exact (ADVICE r4 #3); current
+    # presets satisfy this (PWC levels at /4 of 48x64 / 128x416).
+    assert H % h == 0 and W % wd == 0, (
+        f"pyramid stride must divide the full res: {(H, W)} vs {(h, wd)}"
+    )
     sy, sx = H // h, W // wd
     depth = depth_full[:, ::sy, ::sx][:, :h, :wd]
     if K_full.ndim == 2:
@@ -183,4 +208,5 @@ def pose_from_flow_pyramid(
     return pose_from_flow(
         flow_level, depth, Kl, weight=weight, iters=iters,
         damping=damping, robust_delta=robust_delta,
+        step_clip=step_clip,
     )

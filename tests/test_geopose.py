@@ -56,6 +56,51 @@ class TestPoseFromFlow:
         )
         np.testing.assert_allclose(pred, gtv, atol=1e-4)
 
+    def test_production_defaults_on_drive_world(self):
+        """The ModelConfig DEFAULTS (not hand-picked solver knobs)
+        must recover pose from GT flow on the drive world class —
+        ADVICE r4 #2. The pair set includes seed-99 indices 108-118
+        and 186-192, which contain the pairs where the r4 config
+        (iters=4, no step clip) DIVERGED to ~9 deg
+        (results_r5_geo_oracle.json drive_tiny_r4cfg)."""
+        from davo_tpu.config import ModelConfig
+        from davo_tpu.data.synthetic import DriveSequence
+
+        mcfg = ModelConfig()
+        dseq = DriveSequence(
+            n_frames=194, height=48, width=64, seed=99,
+            forward_speed=0.8, yaw_amp=0.02, n_static=12,
+        )
+        pairs = list(range(108, 118)) + list(range(186, 192))
+        lvl, depths, gts = [], [], []
+        for i in pairs:
+            f = dseq.gt_flow(i, i + 1)[::4, ::4]
+            lvl.append(np.stack([f[..., 0] / 4, f[..., 1] / 4], -1))
+            depths.append(dseq.depth(i))
+            gts.append(dseq.warp_pose(i, i + 1))
+        pred = np.asarray(
+            pose_from_flow_pyramid(
+                jnp.asarray(np.stack(lvl), jnp.float32),
+                jnp.asarray(np.stack(depths)),
+                jnp.asarray(dseq.K, jnp.float32),
+                (48, 64),
+                iters=mcfg.geo_pose_iters,
+                damping=mcfg.geo_pose_damping,
+                robust_delta=mcfg.geo_pose_robust,
+                step_clip=mcfg.geo_pose_step_clip,
+            )
+        )
+        gtv = np.asarray(
+            geo.mat_to_pose_vec(
+                jnp.asarray(np.stack(gts), jnp.float32), "euler"
+            )
+        )
+        rot_err_deg = np.degrees(
+            np.linalg.norm(pred[:, 3:] - gtv[:, 3:], axis=1)
+        )
+        assert rot_err_deg.max() < 0.05, rot_err_deg
+        np.testing.assert_allclose(pred[:, :3], gtv[:, :3], atol=0.02)
+
     def test_robust_to_outlier_region(self, seq):
         """A corrupted flow block must not break the IRLS solve."""
         i = 2
