@@ -250,6 +250,14 @@ class TrainConfig:
     # r_err 12.84 vs 12.64, snippet 0.854 vs 0.845 — within the
     # arm-to-arm noise band; results_r4_quality.json).
     flow_loss_res: str = "level"
+    # >0: supervised Charbonnier end-point error on exact GT flow per
+    # pyramid level (losses.flow_supervision_loss; needs a dataset
+    # built with with_flow=True — synthetic worlds only). r5 rationale
+    # (VERDICT r4 #2): the GT-flow oracle solves pose exactly while
+    # every photometric-trained arm's held-out rotation corr is ~0 —
+    # train the flow net to GT grade and rotation becomes readable
+    # through the geometric head.
+    flow_supervision_weight: float = 0.0
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     # Rotation-term multiplier inside the supervised pose L2. At
     # KITTI-scale motions the squared rotation residual is ~10^4

@@ -167,6 +167,7 @@ class SnippetDataset:
         seq_length: int = 3,
         with_seg: bool = False,
         with_gt: bool = False,
+        with_flow: bool = False,
         augment: bool = False,
         seed: int = 0,
     ):
@@ -175,6 +176,15 @@ class SnippetDataset:
         self.batch_size = batch_size
         self.seq_length = seq_length
         self.with_seg = with_seg and hasattr(source, "seg")
+        # GT flow needs an exact-flow source (the synthetic worlds'
+        # gt_flow(i, j)); real sequences silently lack it.
+        self.with_flow = with_flow and hasattr(source, "gt_flow")
+        if self.with_flow and augment and augment != "color":
+            raise ValueError(
+                "with_flow requires augment in (False, 'color'): the "
+                "zoom+crop augment changes pixel geometry and would "
+                "invalidate the precomputed GT flow"
+            )
         self.with_gt = with_gt
         self.augment = augment
         self.rng = np.random.default_rng(seed)
@@ -184,6 +194,12 @@ class SnippetDataset:
         # (~330 MB) covers shuffled-batch reuse within an epoch slice.
         self.max_cached_frames = 512
         self._frame_cache: "OrderedDict[int, np.ndarray]" = OrderedDict()
+        # GT flow is recomputed analytically per (target, source) pair
+        # (one _surfaces render + a projection); snippets repeat ~100x
+        # over a 2,500-step epoch on 16 tiny worlds, so cache like
+        # frames. 256 pairs at 48x64 f32x2 ~ 6 MB; at 128x416 ~ 109 MB.
+        self.max_cached_flows = 256
+        self._flow_cache: "OrderedDict[tuple, np.ndarray]" = OrderedDict()
 
     def _frame(self, i: int) -> np.ndarray:
         if i in self._frame_cache:
@@ -194,6 +210,17 @@ class SnippetDataset:
         if len(self._frame_cache) > self.max_cached_frames:
             self._frame_cache.popitem(last=False)
         return frame
+
+    def _gt_flow(self, t: int, s: int) -> np.ndarray:
+        key = (t, s)
+        if key in self._flow_cache:
+            self._flow_cache.move_to_end(key)
+            return self._flow_cache[key]
+        flow = self.source.gt_flow(t, s).astype(np.float32)
+        self._flow_cache[key] = flow
+        if len(self._flow_cache) > self.max_cached_flows:
+            self._flow_cache.popitem(last=False)
+        return flow
 
     def _color_jitter(self, imgs: list[np.ndarray]) -> list[np.ndarray]:
         """Shared random gamma/brightness/color across a snippet
@@ -247,6 +274,15 @@ class SnippetDataset:
             for s in list(range(t - k, t)) + list(range(t + 1, t + k + 1)):
                 rels.append(self._warp_pose(t, s))
             out["gt_pose"] = np.stack(rels, 0).astype(np.float32)
+        if self.with_flow:
+            # Exact target->source flow per source, full-res pixel
+            # units (the flownet convention: x_src = x + u; see
+            # losses.flow_supervision_loss for the level rescale).
+            flows = [
+                self._gt_flow(t, s)
+                for s in list(range(t - k, t)) + list(range(t + 1, t + k + 1))
+            ]
+            out["gt_flow"] = np.stack(flows, 0)
         return out
 
     def _warp_pose(self, target: int, source: int) -> np.ndarray:
@@ -298,11 +334,13 @@ class MultiSourceDataset:
     """
 
     def __init__(self, sources, batch_size=4, seq_length=3,
-                 with_seg=False, with_gt=False, augment=False, seed=0):
+                 with_seg=False, with_gt=False, with_flow=False,
+                 augment=False, seed=0):
         self.datasets = [
             SnippetDataset(
                 s, batch_size=1, seq_length=seq_length, with_seg=with_seg,
-                with_gt=with_gt, augment=augment, seed=seed + i,
+                with_gt=with_gt, with_flow=with_flow, augment=augment,
+                seed=seed + i,
             )
             for i, s in enumerate(sources)
         ]
@@ -358,13 +396,15 @@ class ProceduralWorldsDataset:
     """
 
     def __init__(self, world_factory, batch_size=4, seq_length=3,
-                 with_seg=False, with_gt=False, augment=False, seed=0,
+                 with_seg=False, with_gt=False, with_flow=False,
+                 augment=False, seed=0,
                  pool_size=8, draws_per_world=None):
         self.factory = world_factory
         self.batch_size = batch_size
         self.seq_length = seq_length
         self.with_seg = with_seg
         self.with_gt = with_gt
+        self.with_flow = with_flow
         self.augment = augment
         self.rng = np.random.default_rng(seed)
         self.pool_size = pool_size
@@ -379,7 +419,7 @@ class ProceduralWorldsDataset:
         return SnippetDataset(
             self.factory(s), batch_size=1, seq_length=self.seq_length,
             with_seg=self.with_seg, with_gt=self.with_gt,
-            augment=self.augment, seed=s,
+            with_flow=self.with_flow, augment=self.augment, seed=s,
         )
 
     def _quota(self, ds: SnippetDataset) -> int:

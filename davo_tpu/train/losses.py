@@ -369,6 +369,46 @@ def flow_losses(
     return total / max(count, 1)
 
 
+def flow_supervision_loss(
+    flow_pyrs: list[list[jnp.ndarray]],
+    gt_flow: jnp.ndarray,
+) -> jnp.ndarray:
+    """Supervised end-point error vs exact GT flow, per pyramid level.
+
+    gt_flow: (B, S, H, W, 2) target->source displacement in FULL-RES
+    pixel units (data/snippets.py with_flow; the synthetic worlds
+    render it exactly). Each level's predicted flow lives in
+    LEVEL-pixel units on the strided level grid (models/flownet.py),
+    so GT is strided down and rescaled per axis — the same sampling
+    convention as the geometric pose solve
+    (models/geopose.pose_from_flow_pyramid).
+
+    Motivation (r5, VERDICT r4 #2): held-out rotation corr is ~0 in
+    every photometric-trained arm while the GT-flow oracle solves pose
+    exactly (results_r5_geo_oracle.json) — the flow net, not the
+    geometry, is the generalization bottleneck. Charbonnier-EPE keeps
+    gradients bounded near zero error.
+    """
+    B, S, H, W, _ = gt_flow.shape
+    total = 0.0
+    count = 0
+    for s_i, pyr in enumerate(flow_pyrs):
+        g_full = gt_flow[:, s_i]
+        for flow in pyr:
+            h, w = flow.shape[1], flow.shape[2]
+            if H % h or W % w:
+                raise ValueError(
+                    f"level {h}x{w} does not stride-divide {H}x{W}"
+                )
+            sy, sx = H // h, W // w
+            g = g_full[:, ::sy, ::sx]
+            g = jnp.stack([g[..., 0] / sx, g[..., 1] / sy], -1)
+            d2 = jnp.sum((flow.astype(jnp.float32) - g) ** 2, axis=-1)
+            total = total + jnp.mean(jnp.sqrt(d2 + 1e-6))
+            count += 1
+    return total / max(count, 1)
+
+
 def total_loss(
     outputs: dict,
     batch: dict,
@@ -418,6 +458,15 @@ def total_loss(
         )
         loss = loss + fl
         metrics["flow"] = fl
+
+    if (
+        tcfg.flow_supervision_weight > 0.0
+        and "gt_flow" in batch
+        and "flows" in outputs
+    ):
+        fs = flow_supervision_loss(outputs["flows"], batch["gt_flow"])
+        loss = loss + tcfg.flow_supervision_weight * fs
+        metrics["flow_sup"] = fs
 
     if tcfg.pose_supervision_weight > 0.0 and "gt_pose" in batch:
         sup = pose_supervision_loss(
