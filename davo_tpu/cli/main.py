@@ -131,6 +131,10 @@ def cmd_train(args) -> int:
             batch_size=cfg.train.batch_size,
             with_seg=cfg.model.attention == "flow_seg",
             with_gt=cfg.train.pose_supervision_weight > 0,
+            # Synthetic worlds render exact flow; the supervised-flow
+            # tier (losses.flow_supervision_loss) is a config knob
+            # away: --set train.flow_supervision_weight=1.0
+            with_flow=cfg.train.flow_supervision_weight > 0,
             augment=augment,
             seed=cfg.train.seed,
         )

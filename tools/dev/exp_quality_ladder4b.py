@@ -70,12 +70,11 @@ def run_arm(preset="tiny", steps=2500, batch=16, n_worlds=16,
                           **WANDER_KW)
         for s in range(1, n_worlds + 1)
     ]
-    eval_seq = SyntheticSequence(
-        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **WANDER_KW
+    from probe_common import cached_eval_world
+
+    frames, segs, gt, _K = cached_eval_world(
+        "wander", 99, EVAL_FRAMES, H, W, WANDER_KW
     )
-    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
-    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
-    gt = np.asarray(eval_seq.poses)
 
     cfg = Config(
         model=base.model,
@@ -132,16 +131,14 @@ def run_arm(preset="tiny", steps=2500, batch=16, n_worlds=16,
     # beyond the 24 trained frames. High corr here + low corr on
     # seed-99 = texture-shortcut memorization; low corr on both =
     # rotation cue not generalizing at all.
-    tw = SyntheticSequence(
-        n_frames=400, height=H, width=W, seed=1, **WANDER_KW
+    tw_frames, tw_segs, tw_gt_poses, _ = cached_eval_world(
+        "wander", 1, 400, H, W, WANDER_KW
     )
-    tw_frames = np.stack([tw.frame(i) for i in range(400)])
-    tw_segs = np.stack([tw.seg(i) for i in range(400)])
     tw_rels = np.asarray(
         predict_sequence(apply_fn, tw_frames, seg=tw_segs,
                          batch_size=64)
     )
-    tw_gt = np.asarray(tw.poses)
+    tw_gt = tw_gt_poses
     tw_gt_rels = np.stack(
         [np.linalg.inv(tw_gt[i]) @ tw_gt[i + 1]
          for i in range(len(tw_gt) - 1)]

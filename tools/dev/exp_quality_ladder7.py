@@ -75,12 +75,11 @@ def run_arm(pose_head="geo_hybrid", flow_sup=0.0, steps=2500, batch=16):
         DriveSequence(n_frames=24, height=H, width=W, seed=s, **DRIVE_KW)
         for s in range(1, 17)
     ]
-    eval_seq = DriveSequence(
-        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
+    from probe_common import cached_eval_world
+
+    frames, segs, gt, eval_K = cached_eval_world(
+        "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
     )
-    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
-    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
-    gt = np.asarray(eval_seq.poses)
 
     cfg = Config(
         model=mcfg,
@@ -112,7 +111,7 @@ def run_arm(pose_head="geo_hybrid", flow_sup=0.0, steps=2500, batch=16):
     )
     apply_kw = {}
     if pose_head == "geo_hybrid":
-        apply_kw["K"] = np.asarray(eval_seq.K)
+        apply_kw["K"] = eval_K
     apply_fn = make_pose_apply_fn(
         model, state.params, "flow_seg", **apply_kw
     )

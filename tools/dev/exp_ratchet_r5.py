@@ -161,12 +161,11 @@ def main():
     mngr.wait_until_finished()
     train_s = time.time() - t0
 
-    eval_seq = DriveSequence(
-        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
+    from probe_common import cached_eval_world
+
+    frames, segs, gt, _K = cached_eval_world(
+        "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
     )
-    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
-    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
-    gt = np.asarray(eval_seq.poses)
     apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
     rels = np.asarray(
         predict_sequence(apply_fn, frames, seg=segs, batch_size=64)

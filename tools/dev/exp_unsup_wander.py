@@ -65,12 +65,11 @@ def run_arm(sup_weight, depth_norm=False, masking="border"):
                           **WANDER_KW)
         for s in range(1, 17)
     ]
-    eval_seq = SyntheticSequence(
-        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **WANDER_KW
+    from probe_common import cached_eval_world
+
+    frames, segs, gt, _K = cached_eval_world(
+        "wander", 99, EVAL_FRAMES, H, W, WANDER_KW
     )
-    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
-    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
-    gt = np.asarray(eval_seq.poses)
 
     cfg = Config(
         model=base.model,

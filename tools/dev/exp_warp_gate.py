@@ -98,12 +98,11 @@ def run_arm(gather, band=(4, 16)):
         DriveSequence(n_frames=24, height=H, width=W, seed=s, **DRIVE_KW)
         for s in range(1, 17)
     ]
-    eval_seq = DriveSequence(
-        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
+    from probe_common import cached_eval_world
+
+    frames, segs, gt, _K = cached_eval_world(
+        "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
     )
-    frames = np.stack([eval_seq.frame(i) for i in range(EVAL_FRAMES)])
-    segs = np.stack([eval_seq.seg(i) for i in range(EVAL_FRAMES)])
-    gt = np.asarray(eval_seq.poses)
 
     cfg = Config(
         model=base.model,

@@ -55,3 +55,42 @@ from davo_tpu.utils.serving_flags import (  # noqa: E402,F401
     FINGERPRINT_FILES as _FILES,
     fingerprint,
 )
+
+
+def cached_eval_world(kind: str, seed: int, n_frames: int, H: int,
+                      W: int, kw: dict):
+    """Disk-cached rendering of an eval world's (frames, segs, poses, K).
+
+    Rendering a 1,300-frame eval world at 128x416 costs ~30-40 min of
+    HOST time — which the chip-claim protocol serializes behind the
+    TPU job (r5). Caching under /tmp lets a CPU process pre-render
+    while the chip trains, and later arms/jobs load in seconds. The
+    cache key includes every world parameter; arrays are stored f32 —
+    bit-identical to a fresh render (worlds are deterministic in
+    seed), so cached and fresh arms are comparable.
+    """
+    import json as _json
+
+    import numpy as _np
+
+    os.makedirs("/tmp/world_cache", exist_ok=True)
+    tag = _json.dumps(kw, sort_keys=True).replace(" ", "")
+    tag = re.sub(r"[^A-Za-z0-9_.=,-]", "", tag)
+    path = (
+        f"/tmp/world_cache/{kind}_s{seed}_n{n_frames}_{H}x{W}_{tag}.npz"
+    )
+    if os.path.exists(path):
+        z = _np.load(path)
+        return z["frames"], z["segs"], z["poses"], z["K"]
+    from davo_tpu.data.synthetic import DriveSequence, SyntheticSequence
+
+    cls = DriveSequence if kind == "drive" else SyntheticSequence
+    seq = cls(n_frames=n_frames, height=H, width=W, seed=seed, **kw)
+    frames = _np.stack([seq.frame(i) for i in range(n_frames)])
+    segs = _np.stack([seq.seg(i) for i in range(n_frames)])
+    poses = _np.asarray(seq.poses)
+    K = _np.asarray(seq.K, _np.float32)
+    tmp = path + f".tmp{os.getpid()}"
+    _np.savez(tmp, frames=frames, segs=segs, poses=poses, K=K)
+    os.replace(tmp, path)  # atomic: concurrent writers race benignly
+    return frames, segs, poses, K
