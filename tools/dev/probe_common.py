@@ -90,7 +90,9 @@ def cached_eval_world(kind: str, seed: int, n_frames: int, H: int,
     segs = _np.stack([seq.seg(i) for i in range(n_frames)])
     poses = _np.asarray(seq.poses)
     K = _np.asarray(seq.K, _np.float32)
-    tmp = path + f".tmp{os.getpid()}"
+    # np.savez appends .npz when missing — keep the suffix on the tmp
+    # name so the atomic rename target exists.
+    tmp = path + f".tmp{os.getpid()}.npz"
     _np.savez(tmp, frames=frames, segs=segs, poses=poses, K=K)
     os.replace(tmp, path)  # atomic: concurrent writers race benignly
     return frames, segs, poses, K
