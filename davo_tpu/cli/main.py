@@ -120,14 +120,30 @@ def cmd_train(args) -> int:
     augment = "color" if cfg.train.pose_supervision_weight > 0 else True
 
     if args.data == "synthetic":
-        seq = SyntheticSequence(
-            n_frames=32,
-            height=cfg.model.img_height,
-            width=cfg.model.img_width,
-            seed=cfg.train.seed,
-        )
-        ds = SnippetDataset(
-            seq,
+        # Multi-world training is the measured default (single-scene
+        # training overfits texture — data/snippets.py
+        # MultiSourceDataset note; the quality ladders train on 16).
+        from davo_tpu.data.snippets import MultiSourceDataset
+        from davo_tpu.data.synthetic import DriveSequence
+
+        wcls = {
+            "drive": lambda **kw: DriveSequence(**kw),
+            "wander": lambda **kw: SyntheticSequence(
+                trajectory="wander", rot_amp=0.06, tilt_amp=0.05, **kw
+            ),
+            "loop": lambda **kw: SyntheticSequence(**kw),
+        }[args.world_class]
+        worlds = [
+            wcls(
+                n_frames=args.world_frames,
+                height=cfg.model.img_height,
+                width=cfg.model.img_width,
+                seed=cfg.train.seed + i,
+            )
+            for i in range(max(args.worlds, 1))
+        ]
+        ds = MultiSourceDataset(
+            worlds,
             batch_size=cfg.train.batch_size,
             with_seg=cfg.model.attention == "flow_seg",
             with_gt=cfg.train.pose_supervision_weight > 0,
@@ -727,6 +743,20 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--version", default="davo")
     t.add_argument("--data", default="synthetic", help="'synthetic' or KITTI root")
     t.add_argument("--seq", default=None)
+    t.add_argument(
+        "--world-class", default="loop",
+        choices=("loop", "wander", "drive"),
+        help="synthetic data only: world family (ladder5: 'drive' is "
+        "the rotation-identifiable class the quality recipes train on)",
+    )
+    t.add_argument(
+        "--worlds", type=int, default=16,
+        help="synthetic data only: number of procedural train worlds",
+    )
+    t.add_argument(
+        "--world-frames", type=int, default=24,
+        help="synthetic data only: frames per train world",
+    )
     t.add_argument("--steps", type=int, default=None)
     t.add_argument("--checkpoint-dir", default=None)
     t.add_argument("--log-dir", default=None)
