@@ -74,7 +74,11 @@ def pick_gather():
         # Same-protocol r4 anchor (results_r4_quality_drive.json
         # drive_res128) if the same-window twin did not finish.
         anchor = 23.34
-    for name, band in (("banded_8_32", (8, 32)), ("banded_4_16", (4, 16))):
+    for name, band in (
+        ("banded_8_16", (8, 16)),
+        ("banded_8_32", (8, 32)),
+        ("banded_4_16", (4, 16)),
+    ):
         a = g.get(name)
         if a and a["t_err_pct"] <= anchor + GATE_TOL:
             return "banded", band, (

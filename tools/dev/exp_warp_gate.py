@@ -208,11 +208,16 @@ def main():
             flush=True,
         )
 
-    # (8, 32) first: the band stats say (4, 16) clamps ~9.7 % of
-    # pixels vertically at this world/resolution while (8, 32) clamps
-    # 0.25 % — the doubled band is the likely production winner.
-    arm("banded_8_32", lambda: run_arm("banded", (8, 32)))
+    # Band-stat priors: (4, 16) clamps ~9.7 % of pixels vertically at
+    # this world/resolution; rv=8 drops that to 0.25 %, and rh=16
+    # leaves only 2.5 % horizontal. The first (8, 32) attempt's
+    # train-step compile ran >25 min without returning (the Mosaic
+    # unroll scales with (2rh+2)*(2rv+2); 66x18 vs the r4-proven
+    # 34x10), so the sweep uses (8, 16) — the rv axis is the one the
+    # stats say matters — and runs the proven-compile (4, 16) first
+    # on any retry.
     arm("banded_4_16", lambda: run_arm("banded", (4, 16)))
+    arm("banded_8_16", lambda: run_arm("banded", (8, 16)))
     arm("take4", lambda: run_arm("take4"))
     print("warp gate ->", OUT, flush=True)
 
