@@ -214,16 +214,14 @@ def main():
 
     # r5 order: the never-repeating stream FIRST — it is the decisive
     # arm for the memorization-vs-readability hypothesis (VERDICT r4
-    # missing #2); the finite data-axis arms refine the curve after.
+    # missing #2). The finite-data sweep is trimmed to ONE datapoint
+    # (worlds128) for the r5 chip budget: the infinite arms ARE the
+    # asymptote of that axis, so the fine-grained finite curve
+    # (frames96, worlds128_f96[_long]) only matters if infinite and
+    # finite DISAGREE — re-add from git history in that case.
     arm("infinite", lambda: run_arm(infinite=True))
     arm("infinite_long", lambda: run_arm(infinite=True, steps=6000))
     arm("worlds128", lambda: run_arm(n_worlds=128))
-    arm("frames96", lambda: run_arm(n_frames=96))
-    arm("worlds128_f96", lambda: run_arm(n_worlds=128, n_frames=96))
-    # ladder4's wander_long: 6000 steps cut t_err 30.5 -> 25.1 (not
-    # converged at 2500); compose with the data axis.
-    arm("worlds128_f96_long",
-        lambda: run_arm(n_worlds=128, n_frames=96, steps=6000))
     print("ladder4b ->", OUT, flush=True)
 
 
