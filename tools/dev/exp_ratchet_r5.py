@@ -58,7 +58,7 @@ OUT = (
 )
 GATE_JSON = "/root/repo/results_r5_warp_gate.json"
 CKPT = "/tmp/r5_ratchet_ckpt"
-TOTAL = 12000
+TOTAL = int(os.environ.get("DAVO_RATCHET_TOTAL", "12000"))
 GATE_TOL = 1.0  # t_err pct points vs take4 anchor (2x the arm noise)
 
 
