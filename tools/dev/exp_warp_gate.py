@@ -217,7 +217,15 @@ def main():
     # stats say matters — and runs the proven-compile (4, 16) first
     # on any retry.
     arm("banded_4_16", lambda: run_arm("banded", (4, 16)))
-    arm("banded_8_16", lambda: run_arm("banded", (8, 16)))
+    # The rv=8 sweep point is opt-in after TWO server-side Mosaic
+    # compile wedges at this shape: (8, 32) froze >65 min (queue 1,
+    # killed) and (8, 16) froze >70 min with the local process 0 %
+    # CPU (this session) — the unroll-product scaling note in
+    # R5_RESULTS underestimated the davo-small x7-instantiation
+    # blowup. (4, 16) already matches the take4 anchor on quality
+    # (21.96 vs 23.34), so the wider band is informational only.
+    if os.environ.get("DAVO_GATE_WIDE_BAND"):
+        arm("banded_8_16", lambda: run_arm("banded", (8, 16)))
     arm("take4", lambda: run_arm("take4"))
     print("warp gate ->", OUT, flush=True)
 
