@@ -258,6 +258,19 @@ class TrainConfig:
     # train the flow net to GT grade and rotation becomes readable
     # through the geometric head.
     flow_supervision_weight: float = 0.0
+    # Bilinear-gather implementation for the loss-path warps
+    # (core/warp.bilinear_sample): "take4" (exact, XLA gathers),
+    # "block" ((2,2,C) lax.gather — loses in context, ablation only),
+    # "banded" (gather-free Pallas shift-accumulate kernel,
+    # kernels/bandwarp.py — exact within warp_band, band-edge-clamped
+    # beyond; 458 -> 194 ms/step at the flagship train shape). "auto"
+    # resolves at make_train_step time: an explicit DAVO_WARP_GATHER
+    # env wins, else per backend (see train/loop._AUTO_TPU_GATHER —
+    # flipped to "banded" by the r5 on-chip quality gate; CPU stays
+    # "take4": the interpret-mode Pallas path is for kernel tests, not
+    # training).
+    warp_gather: str = "auto"
+    warp_band: tuple = (4, 16)
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss
     # Rotation-term multiplier inside the supervised pose L2. At
     # KITTI-scale motions the squared rotation residual is ~10^4

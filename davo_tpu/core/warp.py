@@ -45,6 +45,22 @@ _BAND = tuple(
 )
 
 
+def configure(gather: str | None = None,
+              band: tuple[int, int] | None = None) -> None:
+    """Set the process-wide default gather method / clamp band.
+
+    The training loop calls this from `make_train_step` to apply
+    `TrainConfig.warp_gather` (resolution order: explicit config >
+    DAVO_WARP_GATHER env > per-backend auto); harnesses may call it
+    directly. `None` leaves the current value untouched.
+    """
+    global _DEFAULT_GATHER, _BAND
+    if gather is not None:
+        _DEFAULT_GATHER = gather
+    if band is not None:
+        _BAND = tuple(band)
+
+
 def bilinear_sample(
     img: jnp.ndarray,
     coords: jnp.ndarray,

@@ -37,6 +37,9 @@ def make_sharded_train_step(model, tx, cfg: Config, mesh: Mesh):
     gradients — the TPU-native analog of the all-reduce data-parallel
     wrapper the reference never had.
     """
+    from davo_tpu.train.loop import _apply_warp_config
+
+    _apply_warp_config(cfg)  # same gather policy as the local step
 
     def forward(params, target, sources, seg):
         # source_disp must mirror train/loop.py: without it the geo-

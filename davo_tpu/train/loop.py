@@ -71,10 +71,39 @@ def create_state(
     return model, state, tx
 
 
+# What `TrainConfig.warp_gather="auto"` means on a TPU backend.
+# "take4" until the banded kernel's on-chip QUALITY gate passes
+# (exp_warp_gate; the 2.36x perf win is already measured,
+# results_r4_train_prof3.json) — flipped in the same commit as the
+# gate artifact.
+_AUTO_TPU_GATHER = "take4"
+
+
+def _apply_warp_config(cfg: Config) -> None:
+    """Resolve cfg.train.warp_gather into the process-wide default.
+
+    Explicit config beats the DAVO_WARP_GATHER env, which beats the
+    per-backend auto policy (banded is a TPU kernel; CPU training and
+    the driver's virtual-mesh dryrun stay on the exact XLA gather)."""
+    from davo_tpu.core import warp as warp_mod
+
+    g = cfg.train.warp_gather
+    if g == "auto":
+        if "DAVO_WARP_GATHER" in os.environ:
+            return  # env already seeded the module default at import
+        g = (
+            _AUTO_TPU_GATHER
+            if jax.default_backend() == "tpu"
+            else "take4"
+        )
+    warp_mod.configure(g, tuple(cfg.train.warp_band))
+
+
 def make_train_step(
     model: DavoModel, tx: optax.GradientTransformation, cfg: Config
 ) -> Callable:
     """Returns jitted (state, batch) -> (state, metrics)."""
+    _apply_warp_config(cfg)
 
     def forward(params, target, sources, seg, K):
         return model.apply(

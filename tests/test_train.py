@@ -613,3 +613,44 @@ class TestScanServing:
             scan, frames, seg=segs, batch_size=4, scan_chunks=2
         )
         np.testing.assert_allclose(rels_scan, rels, rtol=0, atol=1e-5)
+
+
+class TestWarpGatherConfig:
+    """TrainConfig.warp_gather -> core/warp process default resolution
+    (train/loop._apply_warp_config): explicit config > DAVO_WARP_GATHER
+    env > per-backend auto ("take4" on CPU; the TPU branch is
+    _AUTO_TPU_GATHER, gated by the r5 on-chip quality artifact)."""
+
+    def _cfg(self, **kw):
+        return Config(train=TrainConfig(**kw))
+
+    def test_explicit_config_wins(self, monkeypatch):
+        from davo_tpu.core import warp as warp_mod
+        from davo_tpu.train.loop import _apply_warp_config
+
+        monkeypatch.setenv("DAVO_WARP_GATHER", "block")
+        monkeypatch.setattr(warp_mod, "_DEFAULT_GATHER", "block")
+        _apply_warp_config(
+            self._cfg(warp_gather="banded", warp_band=(8, 16))
+        )
+        assert warp_mod._DEFAULT_GATHER == "banded"
+        assert warp_mod._BAND == (8, 16)
+
+    def test_auto_respects_env(self, monkeypatch):
+        from davo_tpu.core import warp as warp_mod
+        from davo_tpu.train.loop import _apply_warp_config
+
+        monkeypatch.setenv("DAVO_WARP_GATHER", "block")
+        monkeypatch.setattr(warp_mod, "_DEFAULT_GATHER", "block")
+        _apply_warp_config(self._cfg(warp_gather="auto"))
+        assert warp_mod._DEFAULT_GATHER == "block"
+
+    def test_auto_on_cpu_is_exact_take4(self, monkeypatch):
+        from davo_tpu.core import warp as warp_mod
+        from davo_tpu.train.loop import _apply_warp_config
+
+        monkeypatch.delenv("DAVO_WARP_GATHER", raising=False)
+        monkeypatch.setattr(warp_mod, "_DEFAULT_GATHER", "banded")
+        _apply_warp_config(self._cfg())
+        assert jax.default_backend() == "cpu"
+        assert warp_mod._DEFAULT_GATHER == "take4"

@@ -126,8 +126,7 @@ def main():
     head, fs, winner, _ = d
 
     gather, band, gwhy = pick_gather()
-    warp_mod._DEFAULT_GATHER = gather
-    warp_mod._BAND = band
+    warp_mod.configure(gather, band)
     print(f"gather={gather} band={band}: {gwhy}", flush=True)
 
     base = presets.get("davo-small")
@@ -147,6 +146,7 @@ def main():
             photo_masking="border", depth_warmup_steps=250,
             grad_clip_norm=10.0 if head == "geo_hybrid" else 0.0,
             log_every=250,
+            warp_gather=gather, warp_band=band,
         ),
     )
     ds = MultiSourceDataset(

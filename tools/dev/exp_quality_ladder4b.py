@@ -83,6 +83,7 @@ def run_arm(preset="tiny", steps=2500, batch=16, n_worlds=16,
             max_steps=steps, pose_supervision_weight=100.0,
             rot_weight=10.0, smooth_weight=0.1,
             photo_masking="border", depth_warmup_steps=250,
+            warp_gather="take4",  # pin the r4 anchor protocol
             log_every=max(steps // 8, 1),
         ),
     )

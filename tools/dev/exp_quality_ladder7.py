@@ -90,6 +90,9 @@ def run_arm(pose_head="geo_hybrid", flow_sup=0.0, steps=2500, batch=16):
             flow_supervision_weight=flow_sup,
             photo_masking="border", depth_warmup_steps=250,
             grad_clip_norm=10.0 if pose_head == "geo_hybrid" else 0.0,
+            # Anchor protocol (r4 tiny arms) is the exact take4
+            # gather; pin it against the auto-policy flip.
+            warp_gather="take4",
             log_every=max(steps // 8, 1),
         ),
     )

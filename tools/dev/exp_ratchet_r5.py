@@ -113,6 +113,7 @@ def main():
             rot_weight=10.0, smooth_weight=0.1,
             photo_masking="border", depth_warmup_steps=250,
             log_every=250,
+            warp_gather=gather, warp_band=band,
         ),
     )
     ds = MultiSourceDataset(

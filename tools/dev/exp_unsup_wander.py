@@ -77,6 +77,7 @@ def run_arm(sup_weight, depth_norm=False, masking="border"):
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=STEPS, pose_supervision_weight=sup_weight,
             rot_weight=10.0, smooth_weight=0.1,
+            warp_gather="take4",  # pin the r4 anchor protocol
             photo_masking=masking, depth_warmup_steps=250,
             depth_norm=depth_norm, log_every=max(STEPS // 8, 1),
         ),

@@ -112,6 +112,10 @@ def run_arm(gather, band=(4, 16)):
             rot_weight=10.0, smooth_weight=0.1,
             photo_masking="border", depth_warmup_steps=250,
             log_every=max(STEPS // 8, 1),
+            # Explicit config wins over the module globals / auto
+            # policy inside make_train_step — each arm pins its own
+            # gather regardless of the production default.
+            warp_gather=gather, warp_band=band,
         ),
     )
     ds = MultiSourceDataset(
