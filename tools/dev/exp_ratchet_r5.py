@@ -95,30 +95,48 @@ def main():
         sys.exit(2)
 
     gather, band, why = pick_gather()
-    warp_mod._DEFAULT_GATHER = gather
-    warp_mod._BAND = band
+    warp_mod.configure(gather, band)
     print(f"gather={gather} band={band}: {why}", flush=True)
 
+    # Recipe is evidence-driven too: the ladder7 winner (head +
+    # flow-supervision weight) composes into the ratchet run, so the
+    # 12k-step budget trains the best-known recipe, not a fixed one.
+    # Rationale (r5 in-flight): flowsup_geo beat the conv tiny anchor
+    # by 3.5 t_err points but held-out rot corr stayed ~0 at 48x64 —
+    # rotational flow there is sub-pixel, below the trained flow EPE;
+    # 128x416 scales it ~6.5x, making this run the decisive
+    # rotation-readability probe as well as the ratchet push.
+    from exp_followup_compose import decide
+
+    d, rwhy = decide()
+    head, fs = ("conv", 0.0) if d is None else (d[0], d[1])
+    print(f"recipe: head={head} flow_sup={fs} ({rwhy})", flush=True)
+
+    import dataclasses
+
     base = presets.get("davo-small")
-    H, W = base.model.img_height, base.model.img_width
+    mcfg = dataclasses.replace(base.model, pose_head=head)
+    H, W = mcfg.img_height, mcfg.img_width
     train_worlds = [
         DriveSequence(n_frames=24, height=H, width=W, seed=s, **DRIVE_KW)
         for s in range(1, 17)
     ]
     cfg = Config(
-        model=base.model,
+        model=mcfg,
         train=TrainConfig(
             batch_size=8, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=TOTAL, pose_supervision_weight=100.0,
             rot_weight=10.0, smooth_weight=0.1,
+            flow_supervision_weight=fs,
             photo_masking="border", depth_warmup_steps=250,
+            grad_clip_norm=10.0 if head == "geo_hybrid" else 0.0,
             log_every=250,
             warp_gather=gather, warp_band=band,
         ),
     )
     ds = MultiSourceDataset(
         train_worlds, batch_size=8, with_seg=True, with_gt=True,
-        augment="color", seed=0,
+        with_flow=fs > 0.0, augment="color", seed=0,
     )
     from davo_tpu.train.loop import (
         create_state,
@@ -131,7 +149,9 @@ def main():
     it = ds.batches(steps=None)
     first = next(it)
     model, state, tx = create_state(cfg, jax.random.key(0), first)
-    mngr = make_checkpoint_manager(CKPT)
+    # Param trees differ across recipes — never restore a conv
+    # checkpoint into a geo run.
+    mngr = make_checkpoint_manager(f"{CKPT}_{head}_fs{int(fs)}")
     restored = restore_checkpoint(mngr, state)
     if restored is not None:
         state = restored
@@ -168,10 +188,13 @@ def main():
 
     from probe_common import cached_eval_world
 
-    frames, segs, gt, _K = cached_eval_world(
+    frames, segs, gt, eval_K = cached_eval_world(
         "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
     )
-    apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
+    apply_kw = {"K": eval_K} if head == "geo_hybrid" else {}
+    apply_fn = make_pose_apply_fn(
+        model, state.params, "flow_seg", **apply_kw
+    )
     rels = np.asarray(
         predict_sequence(apply_fn, frames, seg=segs, batch_size=64)
     )
@@ -179,6 +202,7 @@ def main():
     ev = evaluate_sequence(pred, gt)
     ev["train_s_final_segment"] = train_s
     ev["gather"] = f"{gather}{band if gather == 'banded' else ''}"
+    ev["recipe"] = f"{head}/flow_sup={fs}"
     ev["steps"] = done
 
     gt_rels = np.stack(
@@ -198,7 +222,7 @@ def main():
     if os.path.exists(OUT):
         with open(OUT) as f:
             res = json.load(f)
-    res[f"drive128_{done}"] = ev
+    res[f"drive128_{head}_{done}"] = ev
     with open(OUT + ".tmp", "w") as f:
         json.dump(res, f, indent=1, default=float)
         f.write("\n")
