@@ -218,6 +218,54 @@ def main():
     ev["diag_rot_corr"] = float(np.corrcoef(pr_ang, gt_ang)[0, 1])
     ev["diag_rot_ratio_mean"] = float(np.mean(pr_ang / (gt_ang + 1e-9)))
 
+    # Mechanism-closure diagnostic: full-res-px EPE of the FINEST
+    # predicted flow level on held-out pairs, against the measured
+    # 3.17 px median rotational-flow signal at this resolution
+    # (results_r5_rotflow_scale.json). EPE well below that => rotation
+    # was readable from the flow the net actually produced; EPE at or
+    # above => still flow-noise-bound even at 128x416.
+    try:
+        import jax.numpy as jnp
+
+        eval_seq = DriveSequence(
+            n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
+        )
+        n_diag, chunk = 32, 8
+
+        @jax.jit
+        def flows_fn(t, s, g):
+            out = model.apply(
+                state.params, t, s[:, None], seg=g, train=False
+            )
+            return out["flows"][0][0]  # first source, finest level
+
+        epes = []
+        for c0 in range(0, n_diag, chunk):
+            idx = list(range(c0, c0 + chunk))
+            t = jnp.asarray(frames[[i for i in idx]])
+            s = jnp.asarray(frames[[i + 1 for i in idx]])
+            g = jnp.asarray(segs[[i for i in idx]])
+            fl = np.asarray(flows_fn(t, s, g))  # (chunk, h, w, 2)
+            h, w = fl.shape[1], fl.shape[2]
+            sy, sx = H // h, W // w
+            for k, i in enumerate(idx):
+                gt_fl = eval_seq.gt_flow(i, i + 1)[::sy, ::sx]
+                du = fl[k, ..., 0] * sx - gt_fl[..., 0]
+                dv = fl[k, ..., 1] * sy - gt_fl[..., 1]
+                epes.append(np.sqrt(du ** 2 + dv ** 2))
+        epes = np.stack(epes)
+        ev["diag_flow_epe_px_median"] = float(np.median(epes))
+        ev["diag_flow_epe_px_mean"] = float(np.mean(epes))
+        print(
+            f"  flow EPE: median {ev['diag_flow_epe_px_median']:.2f} px"
+            f"  mean {ev['diag_flow_epe_px_mean']:.2f} px"
+            f"  (rot signal 3.17 px median)",
+            flush=True,
+        )
+    except Exception as e:  # noqa: BLE001
+        ev["diag_flow_epe_error"] = repr(e)
+        print(f"  flow EPE diag failed: {e!r}", flush=True)
+
     res = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
