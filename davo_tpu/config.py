@@ -265,10 +265,12 @@ class TrainConfig:
     # kernels/bandwarp.py — exact within warp_band, band-edge-clamped
     # beyond; 458 -> 194 ms/step at the flagship train shape). "auto"
     # resolves at make_train_step time: an explicit DAVO_WARP_GATHER
-    # env wins, else per backend (see train/loop._AUTO_TPU_GATHER —
-    # flipped to "banded" by the r5 on-chip quality gate; CPU stays
-    # "take4": the interpret-mode Pallas path is for kernel tests, not
-    # training).
+    # env wins, else per backend — "banded" on TPU since the r5
+    # quality gate passed (results_r5_warp_gate.json: banded beats
+    # take4 on t_err/r_err/snippet in same-window twin arms; see
+    # train/loop._AUTO_TPU_GATHER for the batch-dependent speed
+    # note), "take4" on CPU (the interpret-mode Pallas path is for
+    # kernel tests, not training).
     warp_gather: str = "auto"
     warp_band: tuple = (4, 16)
     pose_supervision_weight: float = 0.0  # >0 enables GT-pose auxiliary loss

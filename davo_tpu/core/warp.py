@@ -30,15 +30,20 @@ from jax import lax
 
 from davo_tpu.core import geometry as geo
 
-# Production default: "take4" (four flat take_along_axis taps). The
+# Module default: "take4" (four flat take_along_axis taps) — the
+# exact gather, used by every non-training context (tests, eval
+# utilities, CPU). TRAINING resolves its own policy through
+# TrainConfig.warp_gather via train/loop._apply_warp_config: "banded"
+# on TPU since the r5 quality gate (results_r5_warp_gate.json —
+# banded(4,16) beats take4 on every quality metric in same-window
+# twins, and is 2.36x faster at the flagship B=64 shape). The
 # (2,2,C)-block lax.gather variant won the ISOLATED micro-probe
 # (results_r4_warp_probe.json) but LOSES in the real train step —
 # 553.4 vs 458.3 ms/step at B=64 in the same window
-# (results_r4_train_prof3.json flow_level_block vs _take4) — the
-# in-context read wins per the r3 protocol (probe PASS/FAIL and
-# timings flip out of context). "banded" selects the gather-free
-# Pallas shift-accumulate kernel (kernels/bandwarp.py; band via
-# DAVO_WARP_BAND="rv,rh") — probe candidate, not the default.
+# (results_r4_train_prof3.json) — the in-context read wins per the
+# r3 protocol. "banded" selects the gather-free Pallas
+# shift-accumulate kernel (kernels/bandwarp.py; band via
+# DAVO_WARP_BAND="rv,rh").
 _DEFAULT_GATHER = os.environ.get("DAVO_WARP_GATHER", "take4")
 _BAND = tuple(
     int(t) for t in os.environ.get("DAVO_WARP_BAND", "4,16").split(",")

@@ -72,11 +72,19 @@ def create_state(
 
 
 # What `TrainConfig.warp_gather="auto"` means on a TPU backend.
-# "take4" until the banded kernel's on-chip QUALITY gate passes
-# (exp_warp_gate; the 2.36x perf win is already measured,
-# results_r4_train_prof3.json) — flipped in the same commit as the
-# gate artifact.
-_AUTO_TPU_GATHER = "take4"
+# "banded" since the r5 on-chip quality gate (exp_warp_gate,
+# results_r5_warp_gate.json): same-window twin arms at davo-small
+# 128x416 put banded(4,16) AHEAD of take4 on every quality metric
+# (t_err 21.96 vs 23.34, r_err 7.02 vs 7.49, snippet 0.547 vs 0.582;
+# take4 reproduced the r4 anchor bit-exactly, so the gap is the
+# deterministic effect of the band clamp robustifying large-
+# displacement photometric gradients, not arm noise). Speed is
+# batch-dependent: 2.36x FASTER at the flagship B=64 train shape
+# (194 vs 458 ms/step, results_r4_train_prof3.json), 1.2x slower at
+# the gate's B=8 protocol (648 vs 539 ms/step) — the default serves
+# the production shape; pin warp_gather="take4" for small-batch runs
+# where that 20 % matters more than the quality edge.
+_AUTO_TPU_GATHER = "banded"
 
 
 def _apply_warp_config(cfg: Config) -> None:

@@ -654,3 +654,18 @@ class TestWarpGatherConfig:
         _apply_warp_config(self._cfg())
         assert jax.default_backend() == "cpu"
         assert warp_mod._DEFAULT_GATHER == "take4"
+
+    def test_auto_on_tpu_is_banded(self, monkeypatch):
+        """The r5 gate verdict (results_r5_warp_gate.json): auto on a
+        TPU backend resolves to the banded kernel at the gated band."""
+        from davo_tpu.core import warp as warp_mod
+        from davo_tpu.train import loop as loop_mod
+
+        monkeypatch.delenv("DAVO_WARP_GATHER", raising=False)
+        monkeypatch.setattr(warp_mod, "_DEFAULT_GATHER", "take4")
+        monkeypatch.setattr(
+            loop_mod.jax, "default_backend", lambda: "tpu"
+        )
+        loop_mod._apply_warp_config(self._cfg(warp_gather="auto"))
+        assert warp_mod._DEFAULT_GATHER == "banded"
+        assert warp_mod._BAND == (4, 16)
