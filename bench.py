@@ -36,7 +36,16 @@ BASELINE_FPS = 15.0
 # B=384/512 regress. 256 is the production serving batch.
 BATCH = 256
 WARMUP = 2
-ITERS = 8
+# Chain depth per timed loop. The r5 gap attribution
+# (results_r5_serving_gap.json): device busy is 14.11 ms/call at
+# B=256 with ~0 device idle between chained programs — the
+# wall-vs-device gap is HOST DISPATCH RAMP that amortizes with depth
+# (40.2 ms/call at depth 1 -> 17.4 at 8 -> 15.0 at 32). Depth 32
+# measures steady-state streaming throughput (~94 % of the 18.1k fps
+# device-busy ceiling); the old depth-8 protocol under-reported by
+# ~15 %. donate_argnums recovers nothing (17.7 ms) — input copies
+# are not the gap.
+ITERS = 32
 LOOPS = 5  # repo timing protocol: min over >= 5 loops (CLAUDE.md) —
            # single loops are contaminated by secondary compiles and
            # tunnel hiccups (utils/profiling.timed methodology)
