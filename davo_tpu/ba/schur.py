@@ -93,3 +93,32 @@ def backsubstitute(C_inv, E, rhs_point, dx_pose):
     """Landmark updates (N, 3), parallel per landmark."""
     Et_dx = jnp.einsum("mnij,mi->nj", E, dx_pose)  # (N, 3)
     return jnp.einsum("nij,nj->ni", C_inv, rhs_point - Et_dx)
+
+
+def solve_windows_batched(J_pose, J_point, residuals, weights,
+                          damping: float = 1e-4, n_fixed: int = 2):
+    """Solve K independent windows in one program via vmap.
+
+    Inputs carry a leading window axis: J_pose (K, M, N, 2, 6),
+    J_point (K, M, N, 2, 3), residuals (K, M, N, 2), weights
+    (K, M, N). Returns (dx_pose (K, M, 6), dx_point (K, N, 3)).
+
+    Rationale (results_r5_ba_sol.json): a single window solve at
+    sliding-window sizes is FIXED-OVERHEAD-bound — micro-FLOP work
+    through a ~ms chain of tiny ops, each paying the per-fusion
+    dispatch floor. vmap amortizes that floor across windows: the op
+    count stays constant while every op's batch grows K-fold, so
+    K-window throughput approaches K / (single-window time) only
+    until the MXU fills — the honest scaling lever for multi-window
+    refinement (e.g. the sliding-window eval over a long sequence).
+    """
+    import jax
+
+    def one(Jp, Jl, r, w):
+        B, C, E, rp, rl = gauss_newton_system(Jp, Jl, r, w)
+        S, rhs, C_inv = schur_reduce(B, C, E, rp, rl, damping)
+        dxp = solve_window(S, rhs, n_fixed=n_fixed)
+        dxl = backsubstitute(C_inv, E, rl, dxp)
+        return dxp, dxl
+
+    return jax.vmap(one)(J_pose, J_point, residuals, weights)

@@ -316,3 +316,26 @@ class TestShardedBA:
             np.asarray(got.points_w)[:N], np.asarray(want.points_w),
             atol=5e-3,  # f32 iteration ordering divergence over 5 GN steps
         )
+
+
+class TestBatchedWindows:
+    def test_vmap_matches_sequential(self):
+        """solve_windows_batched == the per-window pipeline, window by
+        window (the K axis is embarrassingly parallel)."""
+        rng = np.random.default_rng(3)
+        K, M, N = 3, 6, 64
+        Jp = jnp.asarray(rng.normal(size=(K, M, N, 2, 6)), jnp.float32)
+        Jl = jnp.asarray(rng.normal(size=(K, M, N, 2, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(K, M, N, 2)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.1, 1.0, (K, M, N)), jnp.float32)
+
+        dxp_b, dxl_b = jax.jit(schur.solve_windows_batched)(Jp, Jl, r, w)
+        for k in range(K):
+            B, C, E, rp, rl = schur.gauss_newton_system(
+                Jp[k], Jl[k], r[k], w[k]
+            )
+            S, rhs, C_inv = schur.schur_reduce(B, C, E, rp, rl, 1e-4)
+            dxp = schur.solve_window(S, rhs)
+            dxl = schur.backsubstitute(C_inv, E, rl, dxp)
+            np.testing.assert_allclose(dxp_b[k], dxp, atol=2e-4)
+            np.testing.assert_allclose(dxl_b[k], dxl, atol=2e-4)

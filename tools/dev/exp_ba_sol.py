@@ -101,6 +101,29 @@ def measure(M, N, loops=5, inner=20):
     return min(times) * 1e6, [t * 1e6 for t in times]
 
 
+def measure_batched(K, M, N, loops=5, inner=20):
+    """K-window vmap solve: the dispatch-floor amortization lever the
+    single-window rows proved necessary (fixed-overhead-bound)."""
+    from davo_tpu.ba.schur import solve_windows_batched
+
+    rng = np.random.default_rng(0)
+    Jp = jnp.asarray(rng.normal(size=(K, M, N, 2, 6)), jnp.float32)
+    Jl = jnp.asarray(rng.normal(size=(K, M, N, 2, 3)), jnp.float32)
+    r = jnp.asarray(rng.normal(size=(K, M, N, 2)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (K, M, N)), jnp.float32)
+    fn = jax.jit(solve_windows_batched)
+    dxp, dxl = fn(Jp, Jl, r, w)
+    float(jnp.sum(dxp))
+    times = []
+    for _ in range(loops):
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            dxp, dxl = fn(Jp, Jl, r, w)
+        float(jnp.sum(dxp) + jnp.sum(dxl))
+        times.append((time.perf_counter() - t0) / inner)
+    return min(times) * 1e6, [t * 1e6 for t in times]
+
+
 def main():
     print("devices:", jax.devices(), flush=True)
     if jax.devices()[0].platform != "tpu":
@@ -130,6 +153,30 @@ def main():
             f"{an['roofline_us']:6.1f} us (compute {an['compute_bound_us']:.1f}"
             f" / memory {an['memory_bound_us']:.1f})  sol "
             f"{an['sol_fraction'] * 100:5.1f} %",
+            flush=True,
+        )
+    for K, M, N in ((8, 8, 256), (8, 16, 1024), (32, 8, 256)):
+        tag = f"batchK{K}_M{M}_N{N}"
+        if tag in res:
+            print(f"{tag}: done previously", flush=True)
+            continue
+        us, all_us = measure_batched(K, M, N)
+        single = res.get(f"M{M}_N{N}", {}).get("measured_us")
+        entry = {
+            "measured_us": us,
+            "us_per_window": us / K,
+            "all_us": all_us,
+        }
+        if single:
+            entry["amortization_x"] = single / (us / K)
+        res[tag] = entry
+        with open(OUT + ".tmp", "w") as f:
+            json.dump(res, f, indent=1)
+            f.write("\n")
+        os.replace(OUT + ".tmp", OUT)
+        print(
+            f"{tag}: {us:8.1f} us total  {us / K:7.1f} us/window  "
+            f"amortization {entry.get('amortization_x', float('nan')):.1f}x",
             flush=True,
         )
     print("->", OUT, flush=True)
