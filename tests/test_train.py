@@ -669,3 +669,36 @@ class TestWarpGatherConfig:
         loop_mod._apply_warp_config(self._cfg(warp_gather="auto"))
         assert warp_mod._DEFAULT_GATHER == "banded"
         assert warp_mod._BAND == (4, 16)
+
+    def test_banded_gather_step_runs_and_learns(self, dataset):
+        """The flipped TPU-production path (warp_gather="banded")
+        through a REAL train step: interpret-mode Pallas on CPU, tiny
+        band. Guards the config->kernel plumbing (band tuple, VJP
+        wiring through every loss warp) that unit kernel tests miss."""
+        cfg = Config(
+            model=TINY,
+            train=TrainConfig(
+                batch_size=2,
+                learning_rate=1e-3,
+                max_steps=1,
+                pose_supervision_weight=10.0,
+                warp_gather="banded",
+                warp_band=(2, 4),
+            ),
+        )
+        batch = next(dataset.batches(steps=1))
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        model, state, tx = create_state(cfg, jax.random.key(0), batch)
+        step = make_train_step(model, tx, cfg)
+        from davo_tpu.core import warp as warp_mod
+
+        assert warp_mod._DEFAULT_GATHER == "banded"
+        assert warp_mod._BAND == (2, 4)
+        try:
+            losses = []
+            for _ in range(3):
+                state, metrics = step(state, batch)
+                losses.append(float(metrics["total"]))
+            assert np.isfinite(losses).all()
+        finally:
+            warp_mod.configure("take4", (4, 16))
