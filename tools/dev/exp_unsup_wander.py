@@ -57,9 +57,13 @@ EVAL_FRAMES = 1300
 STEPS = 2500
 
 
-def run_arm(sup_weight, depth_norm=False, masking="border"):
+def run_arm(sup_weight, depth_norm=False, masking="border",
+            pose_head="conv"):
+    import dataclasses
+
     base = presets.get("tiny")
-    H, W = base.model.img_height, base.model.img_width
+    mcfg = dataclasses.replace(base.model, pose_head=pose_head)
+    H, W = mcfg.img_height, mcfg.img_width
     train_worlds = [
         SyntheticSequence(n_frames=24, height=H, width=W, seed=s,
                           **WANDER_KW)
@@ -72,7 +76,7 @@ def run_arm(sup_weight, depth_norm=False, masking="border"):
     )
 
     cfg = Config(
-        model=base.model,
+        model=mcfg,
         train=TrainConfig(
             batch_size=16, learning_rate=4e-3, lr_schedule="cosine",
             max_steps=STEPS, pose_supervision_weight=sup_weight,
@@ -80,6 +84,7 @@ def run_arm(sup_weight, depth_norm=False, masking="border"):
             warp_gather="take4",  # pin the r4 anchor protocol
             photo_masking=masking, depth_warmup_steps=250,
             depth_norm=depth_norm, log_every=max(STEPS // 8, 1),
+            grad_clip_norm=10.0 if pose_head == "geo_hybrid" else 0.0,
         ),
     )
     ds = MultiSourceDataset(
@@ -96,7 +101,10 @@ def run_arm(sup_weight, depth_norm=False, masking="border"):
             flush=True,
         ),
     )
-    apply_fn = make_pose_apply_fn(model, state.params, "flow_seg")
+    apply_kw = {"K": _K} if pose_head == "geo_hybrid" else {}
+    apply_fn = make_pose_apply_fn(
+        model, state.params, "flow_seg", **apply_kw
+    )
     rels = np.asarray(
         predict_sequence(apply_fn, frames, seg=segs, batch_size=64)
     )
@@ -186,6 +194,13 @@ def main():
     # default.
     arm("unsup_automin_dn",
         lambda: run_arm(0.0, depth_norm=True, masking="automin"))
+    # PLAN_R5 #4: the unsup regime THROUGH the geometric head — the
+    # photometric loss trains flow+depth, the GN solve turns them
+    # into pose; the r3 unsup rotation gap should shrink iff pose-
+    # from-geometry beats pose-from-conv-regression without GT.
+    arm("unsup_geo",
+        lambda: run_arm(0.0, depth_norm=True,
+                        pose_head="geo_hybrid"))
     if "sup" in res and "unsup" in res:
         ratio = res["unsup"]["r_err_deg_per_100m"] / max(
             res["sup"]["r_err_deg_per_100m"], 1e-9
