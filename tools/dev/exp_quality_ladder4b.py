@@ -220,9 +220,12 @@ def main():
     # asymptote of that axis, so the fine-grained finite curve
     # (frames96, worlds128_f96[_long]) only matters if infinite and
     # finite DISAGREE — re-add from git history in that case.
+    # worlds128 (the finite datapoint) before infinite_long: ladder7
+    # measured the steps axis non-monotone at tiny res, so the 6k arm
+    # is the first cut when the wall clock bites (r5 session 3).
     arm("infinite", lambda: run_arm(infinite=True))
-    arm("infinite_long", lambda: run_arm(infinite=True, steps=6000))
     arm("worlds128", lambda: run_arm(n_worlds=128))
+    arm("infinite_long", lambda: run_arm(infinite=True, steps=6000))
     print("ladder4b ->", OUT, flush=True)
 
 

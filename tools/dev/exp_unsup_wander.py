@@ -192,15 +192,17 @@ def main():
     # per-pixel-min masking (automin converges on chip at wu=0,
     # R2_RESULTS ladder #6) + depth_norm, on top of the geo=0.5
     # default.
-    arm("unsup_automin_dn",
-        lambda: run_arm(0.0, depth_norm=True, masking="automin"))
     # PLAN_R5 #4: the unsup regime THROUGH the geometric head — the
     # photometric loss trains flow+depth, the GN solve turns them
     # into pose; the r3 unsup rotation gap should shrink iff pose-
     # from-geometry beats pose-from-conv-regression without GT.
+    # Ordered before the automin composition: the geo arm is the
+    # decisive one for the geometry route (r5 session 3 wall clock).
     arm("unsup_geo",
         lambda: run_arm(0.0, depth_norm=True,
                         pose_head="geo_hybrid"))
+    arm("unsup_automin_dn",
+        lambda: run_arm(0.0, depth_norm=True, masking="automin"))
     if "sup" in res and "unsup" in res:
         ratio = res["unsup"]["r_err_deg_per_100m"] / max(
             res["sup"]["r_err_deg_per_100m"], 1e-9
