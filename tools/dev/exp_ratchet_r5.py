@@ -163,14 +163,27 @@ def main():
     s0 = int(state.step)
     print(f"starting at step {s0}/{TOTAL}", flush=True)
 
-    from probe_common import cached_eval_world
+    # Eval world loads LAZILY at the first eval: a cache miss on the
+    # 1300-frame res128 render must never idle the claimed chip before
+    # training starts (r5 session 3: start prerender_worlds.py on CPU
+    # alongside this job; the full set renders in ~8 min on an idle
+    # box, so it is cached well before the first 4k-step eval).
+    _eval_world = []
 
-    frames, segs, gt, eval_K = cached_eval_world(
-        "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
-    )
-    eval_seq = DriveSequence(
-        n_frames=EVAL_FRAMES, height=H, width=W, seed=99, **DRIVE_KW
-    )
+    def eval_world():
+        if not _eval_world:
+            from probe_common import cached_eval_world
+
+            frames, segs, gt, eval_K = cached_eval_world(
+                "drive", 99, EVAL_FRAMES, H, W, DRIVE_KW
+            )
+            eval_seq = DriveSequence(
+                n_frames=EVAL_FRAMES, height=H, width=W, seed=99,
+                **DRIVE_KW
+            )
+            _eval_world.append((frames, segs, gt, eval_K, eval_seq))
+        return _eval_world[0]
+
     res = {}
     if os.path.exists(OUT):
         with open(OUT) as f:
@@ -183,6 +196,7 @@ def main():
     done = s0
 
     def run_eval(state, done, train_s):
+        frames, segs, gt, eval_K, eval_seq = eval_world()
         _eval_at(
             res, model, state, frames, segs, gt, eval_K, eval_seq,
             head, fs, gather, band, H, W, done, train_s,
